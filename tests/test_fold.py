@@ -1,0 +1,34 @@
+"""Golden fold tests: engine (cell-level LWW SQL fold) vs sequential oracle.
+
+Mirrors the reference's end-to-end comparison strategy
+(replication_tests.rs compare_changes — destination equals source) on
+deterministic seeded logs.
+"""
+
+import pytest
+
+from scylla_cdc_rust_spark.datagen.gen_log import LogSpec, generate_log
+from tests.util import check_fold_matches_oracle
+
+
+@pytest.mark.parametrize("seed", [42, 7, 99])
+def test_fold_random_small(spark, seed):
+    tbl = generate_log(LogSpec(n_events=2_000, n_docs=120, seed=seed))
+    check_fold_matches_oracle(spark, tbl)
+
+
+def test_fold_random_medium(spark):
+    tbl = generate_log(LogSpec(n_events=20_000, n_docs=800, seed=1234, n_epochs=3))
+    check_fold_matches_oracle(spark, tbl)
+
+
+def test_fold_hot_key_skew(spark):
+    # ≥50% of events on one doc (hot_stream_skew fixture, FIXTURES.md §3)
+    tbl = generate_log(LogSpec(n_events=10_000, n_docs=50, seed=5, hot_doc_frac=0.6))
+    check_fold_matches_oracle(spark, tbl)
+
+
+def test_fold_list_mode(spark):
+    # 'list' collection mode: whole-array overwrite fast path (A8)
+    tbl = generate_log(LogSpec(n_events=5_000, n_docs=200, seed=11))
+    check_fold_matches_oracle(spark, tbl, modes={"tokens": "list"})

@@ -1,0 +1,59 @@
+"""Shared helpers: run the engine fold over an arrow log and diff vs oracle."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from scylla_cdc_rust_spark.datagen.oracle import oracle_replay
+from scylla_cdc_rust_spark.functions.decode import decode
+from scylla_cdc_rust_spark.operators.fold import fold
+
+
+def spark_df_from_arrow(spark, tbl: pa.Table):
+    from scylla_cdc_rust_spark.model import CDC_LOG_SCHEMA
+
+    names = set(tbl.column_names)
+    schema_fields = [f for f in CDC_LOG_SCHEMA.fields if f.name in names]
+    import pyspark.sql.types as T
+
+    return spark.createDataFrame(
+        tbl.to_pandas(), schema=T.StructType(schema_fields)
+    )
+
+
+def run_fold(spark, tbl: pa.Table, modes=None):
+    df = spark_df_from_arrow(spark, tbl)
+    return fold(decode(df), collection_modes=modes or {"tokens": "set"})
+
+
+def normalize_engine(rows, payload=("tokens", "n_tok", "source")):
+    out = {}
+    for r in rows:
+        d = r.asDict(recursive=True)
+        rec = {c: d.get(c) for c in payload}
+        rec["ttl"] = d.get("ttl")
+        rec["last_ord"] = d.get("last_ord")
+        out[d["doc_id"]] = rec
+    return out
+
+
+def assert_state_equal(engine: dict, oracle: dict):
+    assert set(engine) == set(oracle), (
+        f"key sets differ: only-engine={sorted(set(engine) - set(oracle))[:5]} "
+        f"only-oracle={sorted(set(oracle) - set(engine))[:5]}"
+    )
+    for k in oracle:
+        e, o = engine[k], oracle[k]
+        for c in o:
+            ev, ov = e.get(c), o[c]
+            if isinstance(ov, list) and ev is not None:
+                ev = list(ev)
+            assert ev == ov, f"doc {k} col {c}: engine={ev!r} oracle={ov!r}"
+
+
+def check_fold_matches_oracle(spark, tbl: pa.Table, modes=None):
+    modes = modes or {"tokens": "set"}
+    oracle = oracle_replay(tbl, collection_modes=modes)
+    engine = normalize_engine(run_fold(spark, tbl, modes).collect())
+    assert_state_equal(engine, oracle)
+    return engine
