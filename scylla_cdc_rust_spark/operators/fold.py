@@ -7,38 +7,58 @@ Cassandra/Scylla write semantics are last-writer-wins *per cell* with
 tombstone precedence, that sequential replay is exactly equivalent to a
 cell-level argmax over the total order (ms, seq, batch_seq) — which is
 how this engine computes it: one declarative groupBy per key with
-``max_by`` per cell plus tombstone thresholds, fully inside
-whole-stage codegen with map-side partial aggregation.  No per-row
-Python, no per-group Python; a hot key costs one partial-aggregate
-buffer per task instead of serializing one consumer (the reference has
-no skew handling — log_reader.rs:223-236).
+``max_by`` per cell plus tombstone thresholds, fully JVM-side with
+map-side partial aggregation.  No per-row Python, no per-group Python;
+a hot key costs one partial-aggregate buffer per task instead of
+serializing one consumer (the reference has no skew handling —
+log_reader.rs:223-236).
+
+Three-stage design so micro-batches compose exactly:
+
+- ``fold_delta(batch)``  → one *delta record* per key: tombstone ords,
+  row marker, per-cell (value, ord) mentions, set-column element deltas
+  (alive/removed/reset), ttl + last write ord.
+- ``finalize(delta)``    → final visible state (delta applied to an
+  empty table) — the batch-replay answer.
+- ``apply_delta(target, delta)`` → cell-wise merge into existing state.
+  Sound because micro-batches are delivered in window order: every op
+  in batch k+1 is strictly later than every op in batch k for the same
+  key (the reference's windowed scan guarantees the same,
+  stream_reader.rs:330-345), so sequential semantics compose:
+  ``finalize(fold(ops₁ ∪ ops₂)) == apply_delta(finalize(fold(ops₁)), fold_delta(ops₂))``.
 
 Semantics per SURVEY.md §2.4 (A1–A11):
 
 - row tombstone = max ord of ROW_DELETE/PARTITION_DELETE (single-column
   key ⇒ the two coincide; delete_row/delete_partition,
   replicator_consumer.rs:719-724,392-402); cells live iff written
-  strictly after it.
+  strictly after it.  Negative op codes are the TTL-expiration variants
+  (consumer.rs:43-46) — identical effect.
 - row marker = max ord of ROW_INSERT (update_or_insert(.., true),
-  replicator_consumer.rs:408-410); row exists iff marker outlives the
-  tombstone or any cell is live (Cassandra row-liveness rule).
-- atomic cell (scalar / frozen / whole-array 'list' mode): LWW among ops
-  that mention the cell — value present → value, cdc$deleted_<col> →
-  null (overwrite_column, replicator_consumer.rs:727-748).
+  replicator_consumer.rs:408-410); a row exists iff its marker outlives
+  the tombstone or it has ≥1 live cell (Cassandra row-liveness rule).
+- atomic cell (scalar / frozen / whole-array 'list' mode): LWW among
+  ops that mention the cell — value present → value, cdc$deleted_<col>
+  → null; value wins over the flag within one change (overwrite_column,
+  replicator_consumer.rs:727-748).
 - 'set' mode collection (non-frozen set/map,
-  replicator_consumer.rs:439-469): element-level LWW.  An overwrite
+  replicator_consumer.rs:415-469): element-level LWW.  An overwrite
   (cdc$deleted_<col> = true) is a collection tombstone killing elements
-  written strictly before it, with same-change elements surviving
-  (Scylla writes the overwrite tombstone at ts-1); delta adds come from
-  the value column, delta removes from cdc$deleted_elements_<col>.
-  Final set = sorted alive elements; empty ⇒ null.
-- ttl / last_ord bookkeeping: taken from the max-ord write op (USING
+  written strictly before it, same-change elements surviving (Scylla
+  writes the overwrite tombstone at ts-1); delta adds come from the
+  value column, delta removes from cdc$deleted_elements_<col>; removal
+  beats addition at equal ord (tombstones win ties).  Final set =
+  sorted alive elements; empty ⇒ null.
+- PreImage/PostImage ignored (replicator_consumer.rs:878); range-delete
+  ops are inert on a clustering-keyless table (see
+  operators/range_delete.py for the general pairing operator).
+- ttl / last_ord bookkeeping from the max-ord write op (USING
   TIMESTAMP/TTL propagation, replicator_consumer.rs:311-333,703-716).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from scylla_cdc_rust_spark.model import (
@@ -57,71 +77,73 @@ _D = [int(OperationType.ROW_DELETE), int(OperationType.PARTITION_DELETE)]
 NEG_INF = -1  # ord values are non-negative
 
 
-def _dcol(df: DataFrame, name: str) -> F.Column:
-    """deleted-flag column or false if the log lacks it (schema drift)."""
+def _dcol(df: DataFrame, name: str) -> Column:
+    """deleted-flag column, or false if the log lacks it (schema drift)."""
     return F.coalesce(F.col(name), F.lit(False)) if name in df.columns else F.lit(False)
 
 
-def fold(
+def split_modes(
+    payload: list[str], collection_modes: dict[str, str] | None
+) -> tuple[list[str], list[str]]:
+    collection_modes = collection_modes or {}
+    set_cols = [c for c in payload if collection_modes.get(c) == "set"]
+    cell_cols = [c for c in payload if collection_modes.get(c, "atomic") != "set"]
+    return cell_cols, set_cols
+
+
+def fold_delta(
     df: DataFrame,
     key: str = "doc_id",
     collection_modes: dict[str, str] | None = None,
     schema: CDCSchema | None = None,
 ) -> DataFrame:
-    """Fold a decoded CDC log into final per-key state.
+    """Fold a decoded CDC batch into one composable delta record per key.
 
-    Input must carry decode outputs (``op``, ``ord``).  Output columns:
-    key, payload columns, ``ttl``, ``last_ord``.
+    Input must carry decode outputs (``op``, ``ord``).
     """
     collection_modes = collection_modes or {"tokens": "set"}
     schema = schema or CDCSchema.from_df_schema(df.schema)
     payload = [c for c in schema.payload if c != key]
-    set_cols = [c for c in payload if collection_modes.get(c) == "set"]
-    cell_cols = [c for c in payload if collection_modes.get(c, "atomic") != "set"]
+    cell_cols, set_cols = split_modes(payload, collection_modes)
 
     is_w = F.col(OP_NORM).isin(_W)
     is_d = F.col(OP_NORM).isin(_D)
     ordc = F.col(ORD)
 
     aggs = [
-        F.coalesce(F.max(F.when(is_d, ordc)), F.lit(NEG_INF)).alias("__row_tomb"),
+        F.coalesce(F.max(F.when(is_d, ordc)), F.lit(NEG_INF)).alias("row_tomb"),
         F.coalesce(
             F.max(F.when(F.col(OP_NORM) == int(OperationType.ROW_INSERT), ordc)),
             F.lit(NEG_INF),
-        ).alias("__marker"),
+        ).alias("marker"),
         F.max(F.when(is_w, ordc)).alias("last_ord"),
         # ttl of the max-ord write op; struct-wrapped so a null ttl at the
         # max ord is returned as-is rather than skipped by the aggregate
-        F.max_by(F.when(is_w, F.struct(F.col(TTL).alias("v"))), F.when(is_w, ordc)).alias(
-            "__ttl_cell"
-        ),
+        F.max_by(
+            F.when(is_w, F.struct(F.col(TTL).alias("v"))), F.when(is_w, ordc)
+        )["v"].alias("ttl_v"),
     ]
     for c in cell_cols:
         dflag = _dcol(df, DELETED_PREFIX + c)
         mentioned = is_w & (F.col(c).isNotNull() | dflag)
-        # value wins over the deleted flag within one change: a non-frozen
-        # overwrite arrives as tombstone+value and the value survives
-        # (overwrite_column, replicator_consumer.rs:727-748)
         aggs.append(
-            F.max_by(
-                F.when(mentioned, F.struct(F.col(c).alias("v"))),
-                F.when(mentioned, ordc),
-            ).alias(f"__cell_{c}")
+            F.max_by(F.when(mentioned, F.struct(F.col(c).alias("v"))), F.when(mentioned, ordc))[
+                "v"
+            ].alias(f"{c}__v")
         )
-        aggs.append(F.max(F.when(mentioned, ordc)).alias(f"__cord_{c}"))
+        aggs.append(F.max(F.when(mentioned, ordc)).alias(f"{c}__ord"))
     for c in set_cols:
         dflag = _dcol(df, DELETED_PREFIX + c)
         aggs.append(
             F.coalesce(F.max(F.when(is_w & dflag, ordc)), F.lit(NEG_INF)).alias(
-                f"__ctomb_{c}"
+                f"{c}__ctomb"
             )
         )
 
-    scalars = df.groupBy(key).agg(*aggs)
+    delta = df.groupBy(key).agg(*aggs)
 
     # ---- element-level LWW for 'set' columns (explode → argmax → collect) ----
     for c in set_cols:
-        dflag = _dcol(df, DELETED_PREFIX + c)
         del_elems = (
             F.col(DELETED_ELEMS_PREFIX + c)
             if DELETED_ELEMS_PREFIX + c in df.columns
@@ -148,53 +170,214 @@ def fold(
             .select(key, "__ord", F.col("ev.e").alias("elem"), F.col("ev.a").alias("act"))
         )
         # last event per (key, element); removal beats addition at equal ord
-        # (tombstones win ties — within one change del_elements dominates)
         per_elem = events.groupBy(key, "elem").agg(
             F.max_by(
                 "act", F.struct(F.col("__ord"), (1 - F.col("act")).alias("tb"))
             ).alias("last_act"),
             F.max("__ord").alias("last_ord_e"),
         )
-        alive = (
-            per_elem.where(F.col("last_act") == 1)
-            .groupBy(key)
-            .agg(F.collect_list(F.struct("last_ord_e", "elem")).alias(f"__evs_{c}"))
+        evs = per_elem.groupBy(key).agg(
+            F.collect_list(F.struct("last_ord_e", "elem", "last_act")).alias(
+                f"__evs_{c}"
+            )
         )
-        scalars = scalars.join(alive, on=key, how="left")
+        delta = delta.join(evs, on=key, how="left")
 
-    # ---- final projection ----
-    row_tomb = F.col("__row_tomb")
-    live_flags = []
-    proj = [F.col(key)]
-    for c in schema.payload:
-        if c == key:
-            continue
-        if c in set_cols:
-            # alive elements must outlive both the row tombstone (strictly)
-            # and the collection overwrite tombstone (>=: same-change adds
-            # survive their own overwrite, Scylla ts-1 rule)
-            thr_row, thr_coll = row_tomb, F.col(f"__ctomb_{c}")
-            vals = F.array_sort(
+    # ---- summarize set columns into alive / removed / reset ----
+    out_cols = [F.col(key), F.col("row_tomb"), F.col("marker"), F.col("last_ord"), F.col("ttl_v")]
+    for c in cell_cols:
+        # mentions at/before the batch row tombstone are dead: equivalent to
+        # "tombstoned and unmentioned", so drop them from the delta
+        alive_mention = F.col(f"{c}__ord") > F.col("row_tomb")
+        out_cols += [
+            F.when(alive_mention, F.col(f"{c}__v")).alias(f"{c}__v"),
+            F.when(alive_mention, F.col(f"{c}__ord")).alias(f"{c}__ord"),
+        ]
+    for c in set_cols:
+        thr_row, thr_coll = F.col("row_tomb"), F.col(f"{c}__ctomb")
+        survives = lambda s: (s["last_ord_e"] > thr_row) & (s["last_ord_e"] >= thr_coll)  # noqa: E731
+        evs = F.coalesce(F.col(f"__evs_{c}"), F.array())
+        out_cols.append(
+            F.array_sort(
                 F.transform(
-                    F.filter(
-                        F.coalesce(F.col(f"__evs_{c}"), F.array()),
-                        lambda s: (s["last_ord_e"] > thr_row) & (s["last_ord_e"] >= thr_coll),
-                    ),
+                    F.filter(evs, lambda s: (s["last_act"] == 1) & survives(s)),
                     lambda s: s["elem"],
                 )
-            )
-            val = F.when(F.size(vals) > 0, vals)
-            proj.append(val.alias(c))
-            live_flags.append(val.isNotNull())
-        else:
-            cell, cord = F.col(f"__cell_{c}"), F.col(f"__cord_{c}")
-            live = (cord > row_tomb) & cell["v"].isNotNull()
-            proj.append(F.when(live, cell["v"]).alias(c))
-            live_flags.append(live)
-    proj.append(F.col("__ttl_cell")["v"].alias("ttl"))
-    proj.append(F.col("last_ord"))
+            ).alias(f"{c}__alive")
+        )
+        out_cols.append(
+            F.array_sort(
+                F.transform(
+                    F.filter(evs, lambda s: (s["last_act"] == 0) & survives(s)),
+                    lambda s: s["elem"],
+                )
+            ).alias(f"{c}__removed")
+        )
+        out_cols.append(
+            ((thr_row > NEG_INF) | (thr_coll > NEG_INF)).alias(f"{c}__reset")
+        )
+    return delta.select(*out_cols)
 
-    exists = F.col("__marker") > row_tomb
-    for lf in live_flags:
-        exists = exists | lf
-    return scalars.where(exists).select(*proj)
+
+def _exists_and_values(delta_side, cell_cols, set_cols, target_side=None):
+    """Shared cell-wise composition used by finalize and apply_delta.
+
+    ``target_side`` maps column name → Column for the existing state
+    (None ⇒ empty target).
+    """
+    d = delta_side
+    had_tomb = F.coalesce(d("row_tomb") > NEG_INF, F.lit(False))
+    values = {}
+    live = []
+    for c in cell_cols:
+        v = F.when(d(f"{c}__ord").isNotNull(), d(f"{c}__v"))
+        if target_side is not None:
+            v = v.when(had_tomb | d(f"{c}__ord").isNotNull(), F.lit(None)).otherwise(
+                target_side(c)
+            )
+        values[c] = v
+        live.append(v.isNotNull())
+    for c in set_cols:
+        alive = F.coalesce(d(f"{c}__alive"), F.array())
+        if target_side is None:
+            merged = alive
+        else:
+            base = F.when(
+                F.coalesce(d(f"{c}__reset"), F.lit(False)) | had_tomb, F.array()
+            ).otherwise(F.coalesce(target_side(c), F.array()))
+            merged = F.array_sort(
+                F.array_except(
+                    F.array_union(base, alive),
+                    F.coalesce(d(f"{c}__removed"), F.array()),
+                )
+            )
+        v = F.when(F.size(merged) > 0, merged)
+        values[c] = v
+        live.append(v.isNotNull())
+
+    marker = F.coalesce(d("marker") > d("row_tomb"), F.lit(False))
+    if target_side is not None:
+        marker = marker | (~had_tomb & F.coalesce(target_side("__has_marker"), F.lit(False)))
+    exists = marker
+    for lf in live:
+        exists = exists | F.coalesce(lf, F.lit(False))
+    return values, exists, marker, had_tomb
+
+
+def finalize(
+    delta: DataFrame,
+    key: str = "doc_id",
+    payload: list[str] | None = None,
+    collection_modes: dict[str, str] | None = None,
+) -> DataFrame:
+    """Delta applied to an empty table → final visible state."""
+    payload = payload or _payload_from_delta(delta, key)
+    cell_cols, set_cols = split_modes(payload, collection_modes or {"tokens": "set"})
+    d = lambda n: F.col(n)  # noqa: E731
+    values, exists, _, _ = _exists_and_values(d, cell_cols, set_cols, None)
+    proj = [F.col(key)]
+    proj += [values[c].alias(c) for c in payload]
+    proj += [
+        F.when(F.col("last_ord").isNotNull(), F.col("ttl_v")).alias("ttl"),
+        F.col("last_ord"),
+    ]
+    return delta.where(exists).select(*proj)
+
+
+def _payload_from_delta(delta: DataFrame, key: str) -> list[str]:
+    cols = []
+    for c in delta.columns:
+        if c.endswith("__v") or c.endswith("__alive"):
+            cols.append(c.rsplit("__", 1)[0])
+    return cols
+
+
+def fold(
+    df: DataFrame,
+    key: str = "doc_id",
+    collection_modes: dict[str, str] | None = None,
+    schema: CDCSchema | None = None,
+) -> DataFrame:
+    """One-shot batch replay: fold the whole log into final state."""
+    collection_modes = collection_modes or {"tokens": "set"}
+    schema = schema or CDCSchema.from_df_schema(df.schema)
+    payload = [c for c in schema.payload if c != key]
+    delta = fold_delta(df, key=key, collection_modes=collection_modes, schema=schema)
+    return finalize(delta, key=key, payload=payload, collection_modes=collection_modes)
+
+
+def apply_delta(
+    target: DataFrame,
+    delta: DataFrame,
+    key: str = "doc_id",
+    payload: list[str] | None = None,
+    collection_modes: dict[str, str] | None = None,
+    keep_tombstones: bool = True,
+) -> DataFrame:
+    """Cell-wise MERGE of a batch delta into existing target state.
+
+    ``target`` schema: key, payload..., ttl, last_ord, __has_marker,
+    is_deleted.  Returns the new target state (same schema).  This is
+    the relational body of ``MERGE INTO ... WHEN MATCHED UPDATE / WHEN
+    NOT MATCHED INSERT / WHEN MATCHED DELETE`` (SURVEY.md §2.4 A1–A5).
+    """
+    payload = payload or _payload_from_delta(delta, key)
+    cell_cols, set_cols = split_modes(payload, collection_modes or {"tokens": "set"})
+
+    t = target.alias("t")
+    dd = delta.alias("d")
+    joined = t.join(dd, on=F.col(f"t.{key}") == F.col(f"d.{key}"), how="full_outer")
+
+    # staleness gate: a delta whose newest op is not newer than the target's
+    # last applied ord is a replayed window — ignore it wholesale (the
+    # exactly-once guard behind the watermark filter; the reference dedups
+    # replays on (time, batch_seq_no), replication_tests.rs:93-98)
+    stale = F.greatest(
+        F.coalesce(F.col("d.last_ord"), F.lit(NEG_INF)),
+        F.coalesce(F.col("d.row_tomb"), F.lit(NEG_INF)),
+    ) <= F.coalesce(F.col("t.last_ord"), F.lit(NEG_INF))
+
+    def dside(n: str) -> Column:
+        return F.when(~stale, F.col(f"d.{n}"))
+
+    def tside(n: str) -> Column:
+        if n == "__has_marker":
+            return F.col("t.__has_marker") & ~F.coalesce(F.col("t.is_deleted"), F.lit(False))
+        return F.when(~F.coalesce(F.col("t.is_deleted"), F.lit(True)), F.col(f"t.{n}"))
+
+    values, exists, marker, had_tomb = _exists_and_values(
+        dside, cell_cols, set_cols, tside
+    )
+
+    new_ttl = (
+        F.when(dside("last_ord").isNotNull(), dside("ttl_v"))
+        .when(had_tomb, F.lit(None))
+        .otherwise(tside("ttl"))
+    )
+    new_last_ord = F.greatest(
+        F.coalesce(dside("last_ord"), F.lit(NEG_INF)),
+        F.coalesce(dside("row_tomb"), F.lit(NEG_INF)),
+        F.coalesce(F.col("t.last_ord"), F.lit(NEG_INF)),
+    )
+
+    proj = [F.coalesce(F.col(f"d.{key}"), F.col(f"t.{key}")).alias(key)]
+    proj += [
+        F.when(exists, values[c]).alias(c) for c in payload
+    ]
+    proj += [
+        F.when(exists, new_ttl).alias("ttl"),
+        new_last_ord.alias("last_ord"),
+        marker.alias("__has_marker"),
+        (~exists).alias("is_deleted"),
+    ]
+    out = joined.select(*proj)
+    if not keep_tombstones:
+        out = out.where(~F.col("is_deleted"))
+    return out
+
+
+def with_bookkeeping(final_state: DataFrame) -> DataFrame:
+    """Lift a finalize() result into the target-table physical schema."""
+    return final_state.withColumn("__has_marker", F.lit(True)).withColumn(
+        "is_deleted", F.lit(False)
+    )

@@ -1,0 +1,249 @@
+"""MERGE-capable lake table: bucketed copy-on-write parquet snapshots.
+
+The north rule's sink is ``MERGE INTO`` an Iceberg table.  Iceberg jars
+are not available in this sandbox, so this module provides the same
+contract with the same scale characteristics on plain parquet:
+
+- the table is hash-bucketed on the merge key (`doc_id`) into
+  ``num_buckets`` buckets — the analog of Iceberg's bucket partition
+  transform.  At 100 TB you set buckets in the thousands so a merge
+  touches ~|changed keys| / |keyspace| of the data;
+- a merge rewrites ONLY the buckets containing changed keys
+  (copy-on-write at bucket granularity, like Iceberg COW with partition
+  pruning on the join);
+- commits are atomic: data files land under a new version directory,
+  a manifest (bucket → data-dir pointers, schema) is written, and a
+  `_VERSION` pointer file is flipped with an atomic rename.  Readers
+  resolve `_VERSION` → manifest → files, so a crashed merge leaves only
+  orphan files, never a torn table (the snapshot-isolation property the
+  reference gets from Scylla's per-statement atomicity plus idempotent
+  re-apply, cdc_types.rs:253-257).
+
+If an Iceberg-enabled Spark session is available, ``IcebergMergeTable``
+(bottom) shows the equivalent MERGE INTO statement; it is import-gated.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scylla_cdc_rust_spark.operators.fold import apply_delta, with_bookkeeping
+
+BUCKET_COL = "__bucket"
+
+
+def bucket_of(key_col, num_buckets: int):
+    return F.pmod(F.xxhash64(key_col), F.lit(num_buckets)).cast("int")
+
+
+class ParquetMergeTable:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        num_buckets: int = 32,
+        key: str = "doc_id",
+    ):
+        self.spark = spark
+        self.path = path
+        self.key = key
+        self.num_buckets = num_buckets
+        os.makedirs(path, exist_ok=True)
+
+    # ---------- manifest / version plumbing ----------
+
+    def version(self) -> int | None:
+        vf = os.path.join(self.path, "_VERSION")
+        if not os.path.exists(vf):
+            return None
+        with open(vf) as f:
+            return int(f.read().strip())
+
+    def _manifest(self, v: int | None = None) -> dict | None:
+        v = v if v is not None else self.version()
+        if v is None:
+            return None
+        with open(os.path.join(self.path, f"manifest-{v}.json")) as f:
+            return json.load(f)
+
+    def _commit(self, manifest: dict) -> None:
+        v = manifest["version"]
+        mf = os.path.join(self.path, f"manifest-{v}.json")
+        with open(mf, "w") as f:
+            json.dump(manifest, f)
+        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="_VERSION.")
+        with os.fdopen(fd, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, os.path.join(self.path, "_VERSION"))  # atomic flip
+
+    # ---------- reads ----------
+
+    def _read_paths(self, paths: list[str]) -> DataFrame:
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.path, p) for p in paths]
+        )
+
+    def read(self, buckets: list[int] | None = None) -> DataFrame | None:
+        """Internal state incl. tombstones and bookkeeping columns."""
+        m = self._manifest()
+        if m is None:
+            return None
+        sel = m["buckets"]
+        if buckets is not None:
+            sel = {b: p for b, p in sel.items() if int(b) in set(buckets)}
+        if not sel:
+            return None
+        return self._read_paths(sorted(set(sel.values())))
+
+    def read_visible(self) -> DataFrame | None:
+        df = self.read()
+        if df is None:
+            return None
+        return df.where(~F.col("is_deleted")).drop("__has_marker", "is_deleted", BUCKET_COL)
+
+    # ---------- merge ----------
+
+    def merge(
+        self,
+        delta: DataFrame,
+        payload: list[str] | None = None,
+        collection_modes: dict[str, str] | None = None,
+    ) -> dict:
+        """Apply a fold_delta batch; rewrite only affected buckets."""
+        t0 = time.time()
+        delta = delta.withColumn(BUCKET_COL, bucket_of(F.col(self.key), self.num_buckets))
+        # affected buckets: tiny driver-side list (≤ num_buckets ints) —
+        # the partition-pruning step of the MERGE
+        affected = [
+            r[0] for r in delta.select(BUCKET_COL).distinct().collect()
+        ]
+        if not affected:
+            return {"buckets_rewritten": 0, "rows_written": 0, "seconds": 0.0}
+
+        current = self.read(buckets=affected)
+        if current is None:
+            from scylla_cdc_rust_spark.operators.fold import finalize
+
+            new_state = with_bookkeeping(
+                finalize(
+                    delta.drop(BUCKET_COL),
+                    key=self.key,
+                    payload=payload,
+                    collection_modes=collection_modes,
+                )
+            )
+        else:
+            new_state = apply_delta(
+                current.drop(BUCKET_COL),
+                delta.drop(BUCKET_COL),
+                key=self.key,
+                payload=payload,
+                collection_modes=collection_modes,
+            )
+        new_state = new_state.withColumn(
+            BUCKET_COL, bucket_of(F.col(self.key), self.num_buckets)
+        )
+
+        old_v = self.version()
+        new_v = (old_v or 0) + 1
+        rel = f"data/v{new_v}"
+        out_dir = os.path.join(self.path, rel)
+        # one job writes all affected buckets as partition dirs
+        new_state.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out_dir)
+        rows = None  # avoid an extra count job; lineage counters live in watermarks
+
+        old_m = self._manifest() or {"buckets": {}, "schema": None}
+        buckets = dict(old_m["buckets"])
+        for b in affected:
+            bdir = f"{rel}/{BUCKET_COL}={b}"
+            if os.path.isdir(os.path.join(self.path, bdir)):
+                buckets[str(b)] = bdir
+            else:
+                buckets.pop(str(b), None)  # bucket became empty
+        self._commit(
+            {
+                "version": new_v,
+                "buckets": buckets,
+                "num_buckets": self.num_buckets,
+                "key": self.key,
+                "schema": new_state.drop(BUCKET_COL).schema.json(),
+            }
+        )
+        return {
+            "version": new_v,
+            "buckets_rewritten": len(affected),
+            "rows_written": rows,
+            "seconds": time.time() - t0,
+        }
+
+    # ---------- maintenance ----------
+
+    def vacuum(self, tombstone_horizon_ord: int | None = None) -> None:
+        """Drop old version dirs not referenced by the current manifest;
+        optionally purge tombstones older than a watermark horizon."""
+        m = self._manifest()
+        if m is None:
+            return
+        if tombstone_horizon_ord is not None:
+            df = self.read()
+            kept = df.where(
+                ~F.col("is_deleted") | (F.col("last_ord") >= tombstone_horizon_ord)
+            )
+            new_v = m["version"] + 1
+            rel = f"data/v{new_v}"
+            kept = kept.withColumn(BUCKET_COL, bucket_of(F.col(self.key), self.num_buckets))
+            kept.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+                os.path.join(self.path, rel)
+            )
+            buckets = {}
+            for b in range(self.num_buckets):
+                bdir = f"{rel}/{BUCKET_COL}={b}"
+                if os.path.isdir(os.path.join(self.path, bdir)):
+                    buckets[str(b)] = bdir
+            m = {**m, "version": new_v, "buckets": buckets}
+            self._commit(m)
+        referenced = {os.path.join(self.path, p).split(f"/{BUCKET_COL}=")[0] for p in m["buckets"].values()}
+        data_root = os.path.join(self.path, "data")
+        if os.path.isdir(data_root):
+            import shutil
+
+            for d in os.listdir(data_root):
+                full = os.path.join(data_root, d)
+                if full not in referenced:
+                    shutil.rmtree(full, ignore_errors=True)
+
+
+class IcebergMergeTable:  # pragma: no cover - requires Iceberg runtime jars
+    """The production sink: identical contract via Iceberg MERGE INTO.
+
+    Kept import-gated: the sandbox has no Iceberg jars.  The MERGE below
+    is the SQL form of operators.fold.apply_delta's projection.
+    """
+
+    def __init__(self, spark: SparkSession, table: str, key: str = "doc_id"):
+        try:
+            spark.sql("SELECT 1").collect()
+            spark.conf.get("spark.sql.catalog.spark_catalog")
+        except Exception as e:  # noqa: BLE001
+            raise NotImplementedError(
+                "Iceberg catalog not configured in this environment"
+            ) from e
+        self.spark, self.table, self.key = spark, table, key
+
+    def merge(self, delta: DataFrame) -> None:
+        delta.createOrReplaceTempView("__cdc_delta")
+        self.spark.sql(
+            f"""
+            MERGE INTO {self.table} t
+            USING __cdc_delta d ON t.{self.key} = d.{self.key}
+            WHEN MATCHED AND d.is_deleted THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED AND NOT d.is_deleted THEN INSERT *
+            """
+        )

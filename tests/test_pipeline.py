@@ -1,0 +1,121 @@
+"""End-to-end batch replay: log dir → windowed merge → target table.
+
+Covers resume-from-checkpoint (e2e_tests.rs:488-520 — 5 sequential
+bounded runs), replay idempotency, and generation sequencing."""
+
+import os
+
+import pytest
+
+from scylla_cdc_rust_spark.config import CDCPipelineConfig
+from scylla_cdc_rust_spark.datagen.gen_log import LogSpec, generate_log, write_log
+from scylla_cdc_rust_spark.datagen.oracle import oracle_replay
+from scylla_cdc_rust_spark.operators.merge import ParquetMergeTable
+from scylla_cdc_rust_spark.plans.pipeline import replay
+from tests.util import assert_state_equal, normalize_engine
+
+MODES = {"tokens": "set"}
+
+
+def make_cfg(tmp, log_tbl, window_ms=400_000):
+    cfg = CDCPipelineConfig(
+        log_path=os.path.join(tmp, "log"),
+        target_path=os.path.join(tmp, "target"),
+        watermark_path=os.path.join(tmp, "wm"),
+        window_size_ms=window_ms,
+        target_num_buckets=8,
+    )
+    write_log(log_tbl, cfg.log_path)
+    return cfg
+
+
+def visible_state(spark, cfg):
+    table = ParquetMergeTable(spark, cfg.target_path, num_buckets=8)
+    return normalize_engine(table.read_visible().collect())
+
+
+def test_full_replay_matches_oracle(spark, tmp_path):
+    tbl = generate_log(LogSpec(n_events=12_000, n_docs=500, seed=31, n_epochs=3))
+    cfg = make_cfg(str(tmp_path), tbl)
+    stats = replay(spark, cfg, MODES)
+    assert stats.n_events == tbl.num_rows
+    assert stats.epochs == [0, 1, 2]
+    assert stats.n_batches >= 3  # multiple windows exercised
+    assert_state_equal(visible_state(spark, cfg), oracle_replay(tbl, collection_modes=MODES))
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    tbl = generate_log(LogSpec(n_events=4_000, n_docs=200, seed=8))
+    cfg = make_cfg(str(tmp_path), tbl)
+    replay(spark, cfg, MODES)
+    s1 = visible_state(spark, cfg)
+    # full second replay: watermark filter drops everything; state unchanged
+    stats2 = replay(spark, cfg, MODES)
+    assert stats2.n_events == 0
+    assert_state_equal(visible_state(spark, cfg), s1)
+
+
+def test_resume_from_checkpoint_five_restarts(spark, tmp_path):
+    # growing-log resume: 5 sequential bounded runs over an expanding log,
+    # each resuming from watermarks (e2e_test_saving_progress_complex)
+    tbl = generate_log(LogSpec(n_events=10_000, n_docs=300, seed=77, n_epochs=2))
+    import numpy as np
+
+    from scylla_cdc_rust_spark.model import TIME_MS
+
+    times = tbl.column(TIME_MS).to_numpy()
+    cuts = np.quantile(times, [0.2, 0.4, 0.6, 0.8, 1.0])
+    cuts[-1] += 1
+    cfg = make_cfg(str(tmp_path), tbl)
+    total = 0
+    for i, cut in enumerate(cuts):
+        cfg.end_timestamp_ms = int(cut)
+        stats = replay(spark, cfg, MODES)
+        total += stats.n_events
+    assert total == tbl.num_rows  # every event applied exactly once
+    assert_state_equal(visible_state(spark, cfg), oracle_replay(tbl, collection_modes=MODES))
+
+
+def test_merge_rewrites_only_affected_buckets(spark, tmp_path):
+    # scale property: a window touching few docs must not rewrite the
+    # whole table (bucket-level copy-on-write = Iceberg partition pruning)
+    from tests.scenarios import LogBuilder
+
+    from scylla_cdc_rust_spark.functions.decode import decode
+    from scylla_cdc_rust_spark.operators.fold import fold_delta
+    from tests.util import spark_df_from_arrow
+
+    tbl = generate_log(LogSpec(n_events=5_000, n_docs=400, seed=4))
+    cfg = make_cfg(str(tmp_path), tbl)
+    replay(spark, cfg, MODES)
+    table = ParquetMergeTable(spark, cfg.target_path, num_buckets=8)
+    v_before = table.version()
+
+    b = LogBuilder().insert("doc_00000001", [1, 2, 3])
+    b.rows[0]["cdc_time_ms"] = 1_900_000_000_000  # after everything
+    delta = fold_delta(
+        decode(spark_df_from_arrow(spark, b.build())), collection_modes=MODES
+    )
+    st = table.merge(delta, payload=["tokens", "n_tok", "source"], collection_modes=MODES)
+    assert st["buckets_rewritten"] == 1
+    assert table.version() == v_before + 1
+    row = [
+        r
+        for r in table.read_visible().collect()
+        if r["doc_id"] == "doc_00000001"
+    ][0]
+    assert list(row["tokens"]) == [1, 2, 3]
+
+
+def test_vacuum_drops_orphans_and_old_tombstones(spark, tmp_path):
+    tbl = generate_log(LogSpec(n_events=3_000, n_docs=150, seed=13))
+    cfg = make_cfg(str(tmp_path), tbl)
+    replay(spark, cfg, MODES)
+    table = ParquetMergeTable(spark, cfg.target_path, num_buckets=8)
+    before = normalize_engine(table.read_visible().collect())
+    table.vacuum(tombstone_horizon_ord=(1 << 63) - 1)  # purge all tombstones
+    internal = table.read()
+    assert internal.where("is_deleted").count() == 0
+    assert_state_equal(normalize_engine(table.read_visible().collect()), before)
+    data_dirs = os.listdir(os.path.join(cfg.target_path, "data"))
+    assert len(data_dirs) == 1  # old versions gone
