@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline workload: end-to-end CDC replay (generate → decode → watermark
+filter → LWW fold → bucketed MERGE → checkpoint) of a deterministic
+synthetic change log, plus the oracle-checked operator queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Scaling evidence (BASELINE.json north rule: ≥0.8 efficiency N→4N):
+``python bench.py --scaling`` runs the identical replay at local[8] and
+local[32] and reports both throughputs + efficiency (also appended to
+BENCH/BASELINE.md by hand — see that file).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "2000000"))
+N_DOCS = int(os.environ.get("BENCH_CDC_DOCS", "200000"))
+
+BENCH_QUERIES = [
+    "engine_cdc_replay",
+    "cdc_fold_scalar",
+    "cdc_fold_set",
+    "cdc_dedup_replay",
+    "cdc_window_scan",
+    "doc_token_count",
+    "doc_exact_dedup",
+    "doc_quality_score",
+    "doc_minhash_signatures",
+    "doc_simhash",
+    "doc_fingerprint",
+    "emb_cosine_topk",
+    "emb_lsh_buckets",
+]
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_log_dir(tmp: str) -> tuple[str, int]:
+    from scylla_cdc_rust_spark.datagen.gen_log import LogSpec, generate_log, write_log
+
+    spec = LogSpec(
+        n_events=N_EVENTS,
+        n_docs=N_DOCS,
+        n_streams=256,
+        n_epochs=2,
+        hot_doc_frac=0.02,  # mild skew, exercised by partial aggregation
+        seed=42,
+    )
+    t0 = time.time()
+    tbl = generate_log(spec)
+    path = write_log(tbl, os.path.join(tmp, "cdc_log"), files_per_epoch=CPUS)
+    log(f"generated {tbl.num_rows} events in {time.time() - t0:.1f}s")
+    return path, tbl.num_rows
+
+
+def run_replay(spark, log_path: str, tmp: str, tag: str) -> tuple[float, float, int]:
+    from scylla_cdc_rust_spark.config import CDCPipelineConfig
+    from scylla_cdc_rust_spark.plans.pipeline import replay
+
+    cfg = CDCPipelineConfig(
+        log_path=log_path,
+        target_path=os.path.join(tmp, f"target_{tag}"),
+        watermark_path=os.path.join(tmp, f"wm_{tag}"),
+        window_size_ms=1 << 60,  # one window per epoch: throughput mode
+        target_num_buckets=max(32, CPUS),
+    )
+    stats = replay(spark, cfg)
+    return stats.seconds, stats.events_per_sec, stats.n_events
+
+
+def session(cores: int):
+    from scylla_cdc_rust_spark.session import get_spark
+
+    return get_spark(app_name=f"bench-{cores}", cores=cores)
+
+
+def replay_only(cores: int, log_path: str) -> None:
+    """Subprocess mode: cold JVM, JIT warmup on a small log, then one
+    measured replay.  Prints one JSON line with events_per_sec."""
+    from scylla_cdc_rust_spark.datagen.gen_log import LogSpec, generate_log, write_log
+
+    tmp = tempfile.mkdtemp(prefix=f"cdc_replay_{cores}_")
+    try:
+        spark = session(cores)
+        warm = generate_log(LogSpec(n_events=150_000, n_docs=20_000, seed=1))
+        write_log(warm, os.path.join(tmp, "warm"), files_per_epoch=cores)
+        run_replay(spark, os.path.join(tmp, "warm"), tmp, "warm")
+        # best-of-N: the sandbox host has high run-to-run variance
+        reps = int(os.environ.get("BENCH_REPLAY_REPS", "2"))
+        best = None
+        for i in range(reps):
+            sec, eps, applied = run_replay(spark, log_path, tmp, f"measured{i}")
+            log(f"local[{cores}] rep{i}: {sec:.1f}s {eps:,.0f} ev/s")
+            if best is None or sec < best[0]:
+                best = (sec, eps, applied)
+        sec, eps, applied = best
+        print(json.dumps({"cores": cores, "seconds": round(sec, 3),
+                          "events_per_sec": round(eps), "n_events": applied}))
+        spark.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _subprocess_replay(cores: int, log_path: str) -> dict:
+    import subprocess
+
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--replay-only",
+         str(cores), log_path],
+        capture_output=True, text=True, env=env, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    scaling = "--scaling" in sys.argv
+    if "--replay-only" in sys.argv:
+        i = sys.argv.index("--replay-only")
+        replay_only(int(sys.argv[i + 1]), sys.argv[i + 2])
+        return
+    tmp = tempfile.mkdtemp(prefix="cdc_bench_")
+    results: dict[str, float] = {}
+    extras: dict = {}
+    try:
+        log_path, n_events = make_log_dir(tmp)
+
+        spark = session(CPUS)
+        # headline: end-to-end replay (after JIT warmup, as a steady-state
+        # throughput measurement — cold-start cost reported separately)
+        warm_sec, _, _ = run_replay(spark, log_path, tmp, "warmup")
+        sec, eps, applied = run_replay(spark, log_path, tmp, f"c{CPUS}")
+        results[f"cdc_replay_{n_events // 1000}k_events"] = round(sec, 3)
+        extras["replay_events_per_sec"] = round(eps)
+        extras["replay_cold_start_sec"] = round(warm_sec, 3)
+        extras["replay_n_events"] = applied
+        log(f"replay local[{CPUS}]: {sec:.1f}s  {eps:,.0f} events/s (cold {warm_sec:.1f}s)")
+
+        # operator queries on driver testdata
+        from scylla_cdc_rust_spark.queries import QUERIES
+
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            n = QUERIES[name](spark, SF_DIR).count()
+            dt = time.time() - t0
+            results[name] = round(dt, 3)
+            log(f"{name}: {dt:.2f}s ({n} rows)")
+        spark.stop()
+
+        if scaling:
+            # N vs 4N in SEPARATE processes (cold JVMs + in-process JIT
+            # warmup each) — the sandbox evidence for the two-cluster-size
+            # criterion (BASELINE.md)
+            lo_cores = max(2, CPUS // 4)
+            lo = _subprocess_replay(lo_cores, log_path)
+            hi = _subprocess_replay(CPUS, log_path)
+            eff = (hi["events_per_sec"] / lo["events_per_sec"]) / (CPUS / lo_cores)
+            extras["scaling"] = {
+                f"local[{lo_cores}]_events_per_sec": lo["events_per_sec"],
+                f"local[{CPUS}]_events_per_sec": hi["events_per_sec"],
+                "speedup": round(hi["events_per_sec"] / lo["events_per_sec"], 3),
+                "efficiency": round(eff, 3),
+            }
+            log(f"scaling: local[{lo_cores}] {lo['events_per_sec']:,} ev/s → "
+                f"local[{CPUS}] {hi['events_per_sec']:,} ev/s, efficiency {eff:.2f}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    out = {
+        "metric": "end-to-end CDC replay + operator suite wall time",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        **extras,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -38,9 +38,11 @@ def pack_ord_col(
     batch_seq: Column | str = BATCH_SEQ,
 ) -> Column:
     """(time_ms << 22) | (time_seq << 8) | batch_seq — see model.pack_ord_py."""
+    from scylla_cdc_rust_spark.model import ORD_BASE_MS
+
     c = lambda x: F.col(x) if isinstance(x, str) else x  # noqa: E731
     return (
-        F.shiftleft(c(time_ms).cast("long"), 22)
+        F.shiftleft(c(time_ms).cast("long") - F.lit(ORD_BASE_MS), 22)
         + F.shiftleft(c(time_seq).cast("long"), 8)
         + c(batch_seq).cast("long")
     ).alias(ORD)

@@ -80,11 +80,17 @@ METADATA_COLS = frozenset(
 # bigint so both Spark and an ANSI-SQL oracle can argmax on it.
 ORD_SEQ_LIMIT = 1 << 14
 ORD_BATCH_LIMIT = 1 << 8
+#: fixed epoch floor subtracted before packing so ord fits in 62 bits
+#: (leaves headroom for ord*2 packings in hash-aggregable fast paths);
+#: valid for any change log timestamped after 2017-07.
+ORD_BASE_MS = 1_500_000_000_000
 
 
 def pack_ord_py(time_ms: int, time_seq: int, batch_seq: int) -> int:
     assert 0 <= time_seq < ORD_SEQ_LIMIT and 0 <= batch_seq < ORD_BATCH_LIMIT
-    return (time_ms << 22) | (time_seq << 8) | batch_seq
+    rel = time_ms - ORD_BASE_MS
+    assert 0 <= rel < (1 << 40), "cdc_time_ms outside supported range"
+    return (rel << 22) | (time_seq << 8) | batch_seq
 
 
 # ---------------------------------------------------------------------------

@@ -169,12 +169,21 @@ def fold_delta(
             )
             .select(key, "__ord", F.col("ev.e").alias("elem"), F.col("ev.a").alias("act"))
         )
-        # last event per (key, element); removal beats addition at equal ord
-        per_elem = events.groupBy(key, "elem").agg(
-            F.max_by(
-                "act", F.struct(F.col("__ord"), (1 - F.col("act")).alias("tb"))
-            ).alias("last_act"),
-            F.max("__ord").alias("last_ord_e"),
+        # last event per (key, element); removal beats addition at equal ord.
+        # (ord, act) packs into one long — max() is hash-aggregable with a
+        # vectorized partial aggregate, unlike max_by over a struct which
+        # falls back to SortAggregate (hot-path at 10^10 events)
+        packed = events.select(
+            key,
+            "elem",
+            (F.col("__ord") * 2 + (1 - F.col("act"))).alias("pk"),
+        )
+        per_elem = packed.groupBy(key, "elem").agg(F.max("pk").alias("pk"))
+        per_elem = per_elem.select(
+            key,
+            "elem",
+            (1 - F.col("pk") % 2).cast("int").alias("last_act"),
+            F.shiftright(F.col("pk"), 1).alias("last_ord_e"),
         )
         evs = per_elem.groupBy(key).agg(
             F.collect_list(F.struct("last_ord_e", "elem", "last_act")).alias(

@@ -114,14 +114,26 @@ class ParquetMergeTable:
         delta: DataFrame,
         payload: list[str] | None = None,
         collection_modes: dict[str, str] | None = None,
+        keys_hint: DataFrame | None = None,
     ) -> dict:
-        """Apply a fold_delta batch; rewrite only affected buckets."""
+        """Apply a fold_delta batch; rewrite only affected buckets.
+
+        ``keys_hint``: optionally the (cheaper) pre-fold batch — affected
+        buckets are derived from its key column with a column-pruned scan
+        instead of materializing the delta twice.
+        """
         t0 = time.time()
         delta = delta.withColumn(BUCKET_COL, bucket_of(F.col(self.key), self.num_buckets))
         # affected buckets: tiny driver-side list (≤ num_buckets ints) —
         # the partition-pruning step of the MERGE
+        src = keys_hint if keys_hint is not None else delta
         affected = [
-            r[0] for r in delta.select(BUCKET_COL).distinct().collect()
+            r[0]
+            for r in src.select(
+                bucket_of(F.col(self.key), self.num_buckets).alias(BUCKET_COL)
+            )
+            .distinct()
+            .collect()
         ]
         if not affected:
             return {"buckets_rewritten": 0, "rows_written": 0, "seconds": 0.0}
@@ -154,8 +166,13 @@ class ParquetMergeTable:
         new_v = (old_v or 0) + 1
         rel = f"data/v{new_v}"
         out_dir = os.path.join(self.path, rel)
-        # one job writes all affected buckets as partition dirs
-        new_state.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out_dir)
+        # one job writes all affected buckets as partition dirs; repartition
+        # by bucket first so each task owns whole buckets — Spark's dynamic
+        # partition writer otherwise falls back to a per-task sort across
+        # all open writers, which anti-scales with thread count
+        new_state.repartition(len(affected), F.col(BUCKET_COL)).write.mode(
+            "overwrite"
+        ).partitionBy(BUCKET_COL).parquet(out_dir)
         rows = None  # avoid an extra count job; lineage counters live in watermarks
 
         old_m = self._manifest() or {"buckets": {}, "schema": None}

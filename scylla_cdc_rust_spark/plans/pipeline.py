@@ -69,7 +69,12 @@ def apply_window(
     schema = CDCSchema.from_df_schema(decoded.schema)
     payload = [c for c in schema.payload if c != key]
     delta = fold_delta(decoded, key=key, collection_modes=collection_modes, schema=schema)
-    table.merge(delta, payload=payload, collection_modes=collection_modes)
+    table.merge(
+        delta,
+        payload=payload,
+        collection_modes=collection_modes,
+        keys_hint=decoded.select(key),
+    )
     n = 0
     if wm is not None:
         per_stream = decoded.groupBy(STREAM_ID).agg(F.count("*").alias("n")).collect()

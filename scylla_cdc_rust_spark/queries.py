@@ -1,0 +1,1094 @@
+"""Driver-facing query registry: Spark DataFrame queries + ANSI oracle SQL.
+
+Each entry demonstrates one operator family from SURVEY.md §2 (or a
+training-data-pipeline operator) over the driver's testdata tables.
+The CDC-family queries run over a *derived change log* built
+deterministically from the `events` table with engine-portable
+expressions, so DuckDB can replay the identical oracle.
+
+Portability rules used throughout (verified against duckdb in-repo):
+- value casts from double go through floor() (Spark truncates, DuckDB
+  rounds on CAST);
+- word hash H(w) = first 15 hex chars of md5 → bigint
+  (Spark conv(...,16,10), DuckDB ('0x'||...)::BIGINT), reduced mod
+  1e9+7 before arithmetic to avoid 64-bit overflow;
+- sums over ints are cast to BIGINT (DuckDB sums to HUGEINT);
+- doubles compared through round(x, 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+M31 = 1_000_000_007
+
+# ---------------------------------------------------------------------------
+# Derived CDC log (shared by the q_cdc_* family)
+# ---------------------------------------------------------------------------
+# op mapping over events: event_id%10 ∈ [0,5) → ROW_INSERT(2), [5,8) →
+# ROW_UPDATE(1), 8 → ROW_DELETE(3), 9 → PARTITION_DELETE(4); deletes with
+# event_id%3=0 carry the negative TTL-expiration code (consumer.rs:43-46).
+# ord (total order per doc) = event_id — unique, monotone surrogate of the
+# (cdc$time, batch_seq) clustering order.
+
+_LOG_SQL = """
+SELECT
+  user_id % 32                                   AS sid,
+  CAST(user_id AS VARCHAR)                       AS doc_id,
+  event_id                                       AS ord,
+  CAST(event_id % 10 AS INTEGER)                 AS opsel,
+  CASE WHEN event_id % 10 < 5 THEN 2
+       WHEN event_id % 10 < 8 THEN 1
+       WHEN event_id % 10 < 9 THEN 3
+       ELSE 4 END                                AS base_op,
+  CAST(floor(value) AS INTEGER)                  AS n_tok,
+  event_type                                     AS source,
+  ts                                             AS ts
+FROM events
+"""
+
+_RAW_OP_SQL = (
+    "CASE WHEN base_op IN (3,4) AND ord % 3 = 0 THEN -base_op ELSE base_op END"
+)
+
+# tokens for write ops: deterministic small int arrays
+_TOKENS_SQL = (
+    "CASE WHEN base_op IN (1,2) THEN "
+    "list_transform(generate_series(0, CAST(ord % 6 + 1 AS INTEGER)), "
+    "x -> CAST((doc_id::BIGINT * 7 + x * 13) % 1000 AS INTEGER)) END"
+)
+_TOKENS_SPARK = (
+    "CASE WHEN base_op IN (1,2) THEN "
+    "transform(sequence(0, CAST(ord % 6 + 1 AS INT)), "
+    "x -> CAST((CAST(doc_id AS BIGINT) * 7 + x * 13) % 1000 AS INT)) END"
+)
+# delta removes on some updates
+_DELS_SQL = (
+    "CASE WHEN base_op = 1 AND ord % 4 = 0 THEN "
+    "list_transform(generate_series(0, CAST(ord % 3 AS INTEGER)), "
+    "x -> CAST((doc_id::BIGINT * 7 + x * 26) % 1000 AS INTEGER)) END"
+)
+_DELS_SPARK = (
+    "CASE WHEN base_op = 1 AND ord % 4 = 0 THEN "
+    "transform(sequence(0, CAST(ord % 3 AS INT)), "
+    "x -> CAST((CAST(doc_id AS BIGINT) * 7 + x * 26) % 1000 AS INT)) END"
+)
+# an update with ord%7=0 overwrites the collection (tombstone+value),
+# as does every insert — the Scylla non-frozen overwrite encoding
+_OVW_COND = "(base_op = 2 OR (base_op = 1 AND ord % 7 = 0))"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _derived_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    log = e.select(
+        (F.col("user_id") % 32).alias("sid"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_id").alias("ord"),
+        (F.col("event_id") % 10).cast("int").alias("opsel"),
+        F.when(F.col("event_id") % 10 < 5, 2)
+        .when(F.col("event_id") % 10 < 8, 1)
+        .when(F.col("event_id") % 10 < 9, 3)
+        .otherwise(4)
+        .alias("base_op"),
+        F.floor(F.col("value")).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+        F.col("ts"),
+    )
+    return log.withColumns(
+        {
+            "raw_op": F.expr(_RAW_OP_SQL),
+            "tokens": F.expr(_TOKENS_SPARK),
+            "del_elems": F.expr(_DELS_SPARK),
+            "is_ovw": F.expr(_OVW_COND),
+        }
+    )
+
+
+def _log_cte() -> str:
+    return f"""
+WITH log0 AS ({_LOG_SQL}),
+log AS (
+  SELECT *,
+    {_RAW_OP_SQL} AS raw_op,
+    {_TOKENS_SQL} AS tokens,
+    {_DELS_SQL} AS del_elems,
+    {_OVW_COND} AS is_ovw
+  FROM log0
+)
+"""
+
+
+# portable word hash: md5-hex prefix → bigint, reduced mod 1e9+7
+def _h_spark(col: str) -> str:
+    return f"CAST(conv(substring(md5({col}), 1, 15), 16, 10) AS BIGINT) % {M31}"
+
+
+def _h_duck(col: str) -> str:
+    return f"(('0x' || substr(md5({col}), 1, 15))::BIGINT) % {M31}"
+
+
+# ===========================================================================
+# CDC operator family
+# ===========================================================================
+
+
+def q_cdc_decode(spark, sf_dir):
+    """F6/O4 (SURVEY §2.2): op-sign normalization + expiration flag +
+    total-order stats, per normalized op (consumer.rs:200-202)."""
+    log = _derived_log(spark, sf_dir)
+    return (
+        log.select(
+            F.abs(F.col("raw_op")).cast("int").alias("op"),
+            (F.col("raw_op") < 0).alias("is_expiration"),
+            F.col("ord"),
+        )
+        .groupBy("op", "is_expiration")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ord").alias("min_ord"),
+            F.max("ord").alias("max_ord"),
+        )
+    )
+
+
+SQL_CDC_DECODE = (
+    _log_cte()
+    + """
+SELECT CAST(abs(raw_op) AS INTEGER) AS op, raw_op < 0 AS is_expiration,
+       count(*) AS n, min(ord) AS min_ord, max(ord) AS max_ord
+FROM log GROUP BY 1, 2
+"""
+)
+
+
+def q_cdc_fold_scalar(spark, sf_dir):
+    """A1–A5/O1 (SURVEY §2.4): per-key LWW fold of scalar cells with
+    row-tombstone precedence — the replicator's apply as one groupBy
+    (replicator_consumer.rs:750-848)."""
+    log = _derived_log(spark, sf_dir)
+    is_w = F.col("base_op").isin(1, 2)
+    is_d = F.col("base_op").isin(3, 4)
+    g = log.groupBy("doc_id").agg(
+        F.coalesce(F.max(F.when(is_d, F.col("ord"))), F.lit(-1)).alias("tomb"),
+        F.max(F.when(is_w, F.col("ord"))).alias("last_ord"),
+        F.max_by(F.when(is_w, F.col("n_tok")), F.when(is_w, F.col("ord"))).alias(
+            "n_tok"
+        ),
+        F.max_by(F.when(is_w, F.col("source")), F.when(is_w, F.col("ord"))).alias(
+            "source"
+        ),
+    )
+    return g.where(F.col("last_ord") > F.col("tomb")).select(
+        "doc_id", "n_tok", "source", "last_ord"
+    )
+
+
+SQL_CDC_FOLD_SCALAR = (
+    _log_cte()
+    + """
+SELECT doc_id,
+       arg_max(n_tok,  CASE WHEN base_op IN (1,2) THEN ord END) AS n_tok,
+       arg_max(source, CASE WHEN base_op IN (1,2) THEN ord END) AS source,
+       max(CASE WHEN base_op IN (1,2) THEN ord END)             AS last_ord
+FROM log
+GROUP BY doc_id
+HAVING max(CASE WHEN base_op IN (1,2) THEN ord END)
+     > coalesce(max(CASE WHEN base_op IN (3,4) THEN ord END), -1)
+"""
+)
+
+
+def q_cdc_fold_set(spark, sf_dir):
+    """A7 (SURVEY §2.4): element-level set delta fold — adds from the
+    value column, removes from cdc$deleted_elements, overwrite
+    tombstones, element LWW (replicator_consumer.rs:415-469)."""
+    log = _derived_log(spark, sf_dir)
+    per_doc = log.groupBy("doc_id").agg(
+        F.coalesce(F.max(F.when(F.col("base_op").isin(3, 4), F.col("ord"))), F.lit(-1)).alias("tomb"),
+        F.coalesce(F.max(F.when(F.col("is_ovw"), F.col("ord"))), F.lit(-1)).alias("ctomb"),
+    )
+    adds = log.where(F.col("tokens").isNotNull()).select(
+        "doc_id", "ord", F.explode("tokens").alias("elem"), F.lit(1).alias("act")
+    )
+    rems = log.where(F.col("del_elems").isNotNull()).select(
+        "doc_id", "ord", F.explode("del_elems").alias("elem"), F.lit(0).alias("act")
+    )
+    ev = adds.unionAll(rems)
+    per_elem = ev.groupBy("doc_id", "elem").agg(
+        F.max_by(F.col("act"), F.col("ord") * 2 + (1 - F.col("act"))).alias("last_act"),
+        F.max("ord").alias("last_ord_e"),
+    )
+    alive = (
+        per_elem.join(per_doc, "doc_id")
+        .where(
+            (F.col("last_act") == 1)
+            & (F.col("last_ord_e") > F.col("tomb"))
+            & (F.col("last_ord_e") >= F.col("ctomb"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list("elem")).alias("tokens"),
+            F.count("*").cast("long").alias("n_alive"),
+        )
+    )
+    return alive
+
+
+SQL_CDC_FOLD_SET = (
+    _log_cte()
+    + f"""
+, per_doc AS (
+  SELECT doc_id,
+         coalesce(max(CASE WHEN base_op IN (3,4) THEN ord END), -1) AS tomb,
+         coalesce(max(CASE WHEN is_ovw THEN ord END), -1)           AS ctomb
+  FROM log GROUP BY doc_id
+),
+ev AS (
+  SELECT doc_id, ord, unnest(tokens) AS elem, 1 AS act
+  FROM log WHERE tokens IS NOT NULL
+  UNION ALL
+  SELECT doc_id, ord, unnest(del_elems) AS elem, 0 AS act
+  FROM log WHERE del_elems IS NOT NULL
+),
+per_elem AS (
+  SELECT doc_id, elem,
+         arg_max(act, ord * 2 + (1 - act)) AS last_act,
+         max(ord)                          AS last_ord_e
+  FROM ev GROUP BY doc_id, elem
+)
+SELECT p.doc_id,
+       list_sort(list(p.elem))      AS tokens,
+       CAST(count(*) AS BIGINT)     AS n_alive
+FROM per_elem p JOIN per_doc d ON p.doc_id = d.doc_id
+WHERE p.last_act = 1 AND p.last_ord_e > d.tomb AND p.last_ord_e >= d.ctomb
+GROUP BY p.doc_id
+"""
+)
+
+
+def q_cdc_dedup_replay(spark, sf_dir):
+    """F7/R6 (SURVEY §2.2): exactly-once dedup — a doubled (replayed) log
+    deduplicated on (doc_id, ord) must collapse to the original
+    (replication_tests.rs:93-98)."""
+    log = _derived_log(spark, sf_dir).select("sid", "doc_id", "ord")
+    doubled = log.unionAll(log)
+    dedup = doubled.dropDuplicates(["doc_id", "ord"])
+    return dedup.groupBy("sid").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+SQL_CDC_DEDUP_REPLAY = (
+    _log_cte()
+    + """
+, doubled AS (
+  SELECT sid, doc_id, ord FROM log
+  UNION ALL
+  SELECT sid, doc_id, ord FROM log
+),
+dedup AS (SELECT DISTINCT sid, doc_id, ord FROM doubled)
+SELECT sid, count(*) AS n_events, count(DISTINCT doc_id) AS n_docs
+FROM dedup GROUP BY sid
+"""
+)
+
+
+def q_cdc_window_scan(spark, sf_dir):
+    """S8/F1 (SURVEY §2.1): half-open time-window scan per stream with
+    predicate pushdown (stream_reader.rs:200-213)."""
+    log = _derived_log(spark, sf_dir)
+    win = log.where(
+        (F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    )
+    return win.groupBy("sid").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("ord").alias("min_ord"),
+        F.max("ord").alias("max_ord"),
+    )
+
+
+SQL_CDC_WINDOW_SCAN = (
+    _log_cte()
+    + """
+SELECT sid, count(*) AS n, count(DISTINCT doc_id) AS n_docs,
+       min(ord) AS min_ord, max(ord) AS max_ord
+FROM log
+WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY sid
+"""
+)
+
+
+def q_cdc_generation_lookup(spark, sf_dir):
+    """S3/S4 (SURVEY §2.1): generation-by-timestamp and next-generation
+    lookups over day-bucketed generations
+    (stream_generations.rs:146-170)."""
+    e = _events(spark, sf_dir)
+    gens = e.select(F.date_trunc("day", "ts").alias("gen")).distinct()
+    x = F.lit("2024-01-15 12:00:00").cast("timestamp")
+    cur = gens.where(F.col("gen") <= x).agg(
+        F.unix_millis(F.max("gen")).alias("current_gen_ms")
+    )
+    nxt = gens.where(F.col("gen") > x).agg(
+        F.unix_millis(F.min("gen")).alias("next_gen_ms")
+    )
+    return cur.crossJoin(nxt)
+
+
+SQL_CDC_GENERATION_LOOKUP = """
+WITH gens AS (SELECT DISTINCT date_trunc('day', ts) AS gen FROM events)
+SELECT
+  (SELECT epoch_ms(max(gen)) FROM gens WHERE gen <= TIMESTAMP '2024-01-15 12:00:00') AS current_gen_ms,
+  (SELECT epoch_ms(min(gen)) FROM gens WHERE gen >  TIMESTAMP '2024-01-15 12:00:00') AS next_gen_ms
+"""
+
+
+def q_cdc_stream_groups(spark, sf_dir):
+    """S5/O2 (SURVEY §2.1/§2.3): vnode grouping of streams — streams
+    grouped per worker, events counted per group
+    (stream_generations.rs:243-266, log_reader.rs:208-236)."""
+    log = _derived_log(spark, sf_dir)
+    return (
+        log.withColumn("vnode", (F.col("sid") % 8).cast("bigint"))
+        .groupBy("vnode")
+        .agg(
+            F.countDistinct("sid").alias("n_streams"),
+            F.count("*").alias("n_events"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+SQL_CDC_STREAM_GROUPS = (
+    _log_cte()
+    + """
+SELECT sid % 8 AS vnode, count(DISTINCT sid) AS n_streams,
+       count(*) AS n_events, count(DISTINCT doc_id) AS n_docs
+FROM log GROUP BY 1
+"""
+)
+
+
+def q_cdc_safety_clamp(spark, sf_dir):
+    """F3 (SURVEY §2.2): safety-interval clamp — never consume rows newer
+    than now − safety_interval (stream_reader.rs:304-331); 24h here."""
+    log = _derived_log(spark, sf_dir)
+    bound = log.agg(
+        (F.unix_micros(F.max("ts").cast("timestamp")) - F.lit(86_400_000_000)).alias("safe_end_us")
+    )
+    return (
+        log.crossJoin(F.broadcast(bound))
+        .groupBy("sid")
+        .agg(
+            F.sum(
+                F.when(F.unix_micros(F.col("ts").cast("timestamp")) < F.col("safe_end_us"), 1).otherwise(0)
+            ).cast("long").alias("n_safe"),
+            F.sum(
+                F.when(F.unix_micros(F.col("ts").cast("timestamp")) >= F.col("safe_end_us"), 1).otherwise(0)
+            ).cast("long").alias("n_held_back"),
+        )
+    )
+
+
+SQL_CDC_SAFETY_CLAMP = (
+    _log_cte()
+    + """
+, bound AS (SELECT max(epoch_us(ts)) - 86400000000 AS safe_end_us FROM log)
+SELECT sid,
+       CAST(sum(CASE WHEN epoch_us(ts) <  safe_end_us THEN 1 ELSE 0 END) AS BIGINT) AS n_safe,
+       CAST(sum(CASE WHEN epoch_us(ts) >= safe_end_us THEN 1 ELSE 0 END) AS BIGINT) AS n_held_back
+FROM log, bound GROUP BY sid
+"""
+)
+
+
+def q_cdc_checkpoint_resume(spark, sf_dir):
+    """S9/C4 (SURVEY §2.1/§2.5): resume from per-stream watermarks —
+    events at/after the saved timestamp are re-read
+    (stream_reader.rs:226-244)."""
+    log = _derived_log(spark, sf_dir)
+    wm = log.groupBy("sid").agg(
+        (F.unix_micros(F.max("ts").cast("timestamp")) - F.lit(86_400_000_000)).alias("wm_us")
+    )
+    j = log.join(wm, "sid")
+    return (
+        j.where(F.unix_micros(F.col("ts").cast("timestamp")) >= F.col("wm_us"))
+        .groupBy("sid")
+        .agg(F.count("*").alias("n_resume"), F.min("ord").alias("resume_min_ord"))
+        .join(wm, "sid")
+        .select("sid", "wm_us", "n_resume", "resume_min_ord")
+    )
+
+
+SQL_CDC_CHECKPOINT_RESUME = (
+    _log_cte()
+    + """
+, wm AS (SELECT sid, max(epoch_us(ts)) - 86400000000 AS wm_us FROM log GROUP BY sid)
+SELECT l.sid AS sid, any_value(w.wm_us) AS wm_us,
+       count(*) AS n_resume, min(l.ord) AS resume_min_ord
+FROM log l JOIN wm w ON l.sid = w.sid
+WHERE epoch_us(l.ts) >= w.wm_us
+GROUP BY l.sid
+"""
+)
+
+
+def q_cdc_range_delete_pairing(spark, sf_dir):
+    """A6 (SURVEY §2.4): range-delete bound pairing — a left-bound row is
+    buffered and paired with the next right-bound row in per-stream
+    clustering order via lead() (replicator_consumer.rs:587-659)."""
+    log = _derived_log(spark, sf_dir)
+    bounds = log.where(F.col("ord") % 50 < 2).select(
+        "sid",
+        "ord",
+        F.when(F.col("ord") % 50 == 0, F.lit(5)).otherwise(F.lit(7)).alias("bop"),
+    )
+    w = W.partitionBy("sid").orderBy("ord")
+    paired = bounds.withColumn("next_bop", F.lead("bop").over(w)).withColumn(
+        "next_ord", F.lead("ord").over(w)
+    )
+    pairs = paired.where((F.col("bop") == 5) & (F.col("next_bop") == 7))
+    return pairs.groupBy("sid").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("next_ord") - F.col("ord")).cast("long").alias("total_span"),
+    )
+
+
+SQL_CDC_RANGE_DELETE_PAIRING = (
+    _log_cte()
+    + """
+, bounds AS (
+  SELECT sid, ord, CASE WHEN ord % 50 = 0 THEN 5 ELSE 7 END AS bop
+  FROM log WHERE ord % 50 < 2
+),
+paired AS (
+  SELECT sid, ord, bop,
+         lead(bop) OVER (PARTITION BY sid ORDER BY ord) AS next_bop,
+         lead(ord) OVER (PARTITION BY sid ORDER BY ord) AS next_ord
+  FROM bounds
+)
+SELECT sid, count(*) AS n_pairs,
+       CAST(sum(next_ord - ord) AS BIGINT) AS total_span
+FROM paired WHERE bop = 5 AND next_bop = 7
+GROUP BY sid
+"""
+)
+
+
+def q_cdc_ttl_propagation(spark, sf_dir):
+    """A10/A11 (SURVEY §2.4): TTL and write-timestamp propagation — the
+    final row carries the ttl of its last write; absent ttl clears it
+    (replicator_consumer.rs:703-716)."""
+    log = _derived_log(spark, sf_dir)
+    is_w = F.col("base_op").isin(1, 2)
+    ttl = F.when(is_w & (F.col("ord") % 5 < 2), (F.col("ord") % 86400)).otherwise(
+        F.lit(None)
+    )
+    lg = log.withColumn("ttl", ttl)
+    g = lg.groupBy("doc_id").agg(
+        F.coalesce(
+            F.max(F.when(F.col("base_op").isin(3, 4), F.col("ord"))), F.lit(-1)
+        ).alias("tomb"),
+        F.max(F.when(is_w, F.col("ord"))).alias("last_ord"),
+        F.max_by(
+            F.when(is_w, F.coalesce(F.col("ttl"), F.lit(-1))),
+            F.when(is_w, F.col("ord")),
+        ).alias("ttl_c"),
+    )
+    return g.where(F.col("last_ord") > F.col("tomb")).select(
+        "doc_id",
+        F.nullif(F.col("ttl_c"), F.lit(-1)).alias("ttl"),
+        "last_ord",
+    )
+
+
+SQL_CDC_TTL_PROPAGATION = (
+    _log_cte()
+    + """
+, lg AS (
+  SELECT *, CASE WHEN base_op IN (1,2) AND ord % 5 < 2 THEN ord % 86400 END AS ttl
+  FROM log
+)
+SELECT doc_id,
+       nullif(arg_max(coalesce(ttl, -1), CASE WHEN base_op IN (1,2) THEN ord END), -1) AS ttl,
+       max(CASE WHEN base_op IN (1,2) THEN ord END) AS last_ord
+FROM lg
+GROUP BY doc_id
+HAVING max(CASE WHEN base_op IN (1,2) THEN ord END)
+     > coalesce(max(CASE WHEN base_op IN (3,4) THEN ord END), -1)
+"""
+)
+
+
+def q_cdc_batch_stats(spark, sf_dir):
+    """Batch-write semantics (consumer.rs:163-164): events sharing one
+    second form a batch; distribution of batch sizes with the last
+    member flagged end_of_batch."""
+    log = _derived_log(spark, sf_dir)
+    b = log.groupBy("sid", F.date_trunc("second", "ts").alias("bt")).agg(
+        F.count("*").alias("batch_size"), F.max("ord").alias("eob_ord")
+    )
+    return b.groupBy("batch_size").agg(
+        F.count("*").alias("n_batches"),
+        F.sum("eob_ord").cast("long").alias("sum_eob_ord"),
+    )
+
+
+SQL_CDC_BATCH_STATS = (
+    _log_cte()
+    + """
+, b AS (
+  SELECT sid, date_trunc('second', ts) AS bt,
+         count(*) AS batch_size, max(ord) AS eob_ord
+  FROM log GROUP BY sid, date_trunc('second', ts)
+)
+SELECT batch_size, count(*) AS n_batches,
+       CAST(sum(eob_ord) AS BIGINT) AS sum_eob_ord
+FROM b GROUP BY batch_size
+"""
+)
+
+
+# ===========================================================================
+# Training-data pipeline operators (documents / embeddings)
+# ===========================================================================
+
+
+def q_doc_token_count(spark, sf_dir):
+    """Token counting (whitespace tokenizer) per language."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.size(F.split(F.col("text"), " "))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).cast("long").alias("total_tokens"),
+        F.round(F.avg(toks), 4).alias("avg_tokens"),
+    )
+
+
+SQL_DOC_TOKEN_COUNT = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_doc_exact_dedup(spark, sf_dir):
+    """Exact dedup via content hash: canonical survivor = min doc_id per
+    md5(text) group; report per-source group stats."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = d.groupBy(F.md5("text").alias("h"), F.col("source")).agg(
+        F.min("doc_id").alias("survivor"), F.count("*").alias("copies")
+    )
+    return g.groupBy("source").agg(
+        F.count("*").alias("n_groups"),
+        F.sum("copies").cast("long").alias("n_docs"),
+        F.sum(F.col("copies") - 1).cast("long").alias("n_dups_removed"),
+    )
+
+
+SQL_DOC_EXACT_DEDUP = """
+WITH g AS (
+  SELECT md5(text) AS h, source, min(doc_id) AS survivor, count(*) AS copies
+  FROM documents GROUP BY md5(text), source
+)
+SELECT source, count(*) AS n_groups, CAST(sum(copies) AS BIGINT) AS n_docs,
+       CAST(sum(copies - 1) AS BIGINT) AS n_dups_removed
+FROM g GROUP BY source
+"""
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def q_doc_quality_score(spark, sf_dir):
+    """Quality scoring: length + mean word length + stopword ratio."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    sw = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
+    awl = F.length("text").cast("double") / n_words.cast("double")
+    score = F.round(
+        F.least(F.lit(1.0), n_words.cast("double") / F.lit(100.0)) * 0.5
+        + (F.lit(1.0) / (F.lit(1.0) + F.abs(awl - F.lit(5.0)))) * 0.3
+        + (sw.cast("double") / n_words.cast("double")) * 0.2,
+        4,
+    )
+    return d.select(F.col("source"), score.alias("q")).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+        F.round(F.min("q"), 4).alias("min_quality"),
+        F.round(F.max("q"), 4).alias("max_quality"),
+    )
+
+
+_SW_SQL = "('the','a','of','and','to','in','is','it')"
+SQL_DOC_QUALITY_SCORE = f"""
+WITH s AS (
+  SELECT source,
+    round(
+      least(1.0, len(string_split(text,' ')) / 100.0) * 0.5
+      + (1.0 / (1.0 + abs(CAST(length(text) AS DOUBLE) / len(string_split(text,' ')) - 5.0))) * 0.3
+      + (CAST(len(list_filter(string_split(text,' '), w -> w IN {_SW_SQL})) AS DOUBLE)
+         / len(string_split(text,' '))) * 0.2,
+      4) AS q
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, round(avg(q), 4) AS avg_quality,
+       round(min(q), 4) AS min_quality, round(max(q), 4) AS max_quality
+FROM s GROUP BY source
+"""
+
+
+def q_doc_lang_id(spark, sf_dir):
+    """Language-ID heuristic: stopword-ratio thresholding, compared
+    against the labeled lang column (confusion counts)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    ratio = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS))).cast(
+        "double"
+    ) / F.size(words).cast("double")
+    guess = (
+        F.when(ratio > 0.08, F.lit("en"))
+        .when(ratio > 0.03, F.lit("latin"))
+        .otherwise(F.lit("other"))
+    )
+    return d.select("lang", guess.alias("guess")).groupBy("lang", "guess").agg(
+        F.count("*").alias("n")
+    )
+
+
+SQL_DOC_LANG_ID = f"""
+WITH r AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split(text,' '), w -> w IN {_SW_SQL})) AS DOUBLE)
+         / len(string_split(text,' ')) AS ratio
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN ratio > 0.08 THEN 'en'
+            WHEN ratio > 0.03 THEN 'latin'
+            ELSE 'other' END AS guess,
+       count(*) AS n
+FROM r GROUP BY 1, 2
+"""
+
+
+def q_doc_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (4 hash functions over distinct words) for the
+    first 25 documents — the signature stage of MinHash-LSH dedup."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").where(F.col("doc_id") < 25)
+    w = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
+    hw = w.withColumn("h", F.expr(_h_spark("w")))
+    aggs = [
+        F.min((F.col("h") * a + b) % M31).alias(f"m{i}")
+        for i, (a, b) in enumerate([(1, 0), (31, 7), (131, 3), (997, 11)])
+    ]
+    return hw.groupBy("doc_id").agg(*aggs)
+
+
+SQL_DOC_MINHASH_SIGNATURES = f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents WHERE doc_id < 25
+),
+hw AS (SELECT doc_id, {_h_duck("w")} AS h FROM w)
+SELECT doc_id,
+       min((h * 1 + 0) % {M31})   AS m0,
+       min((h * 31 + 7) % {M31})  AS m1,
+       min((h * 131 + 3) % {M31}) AS m2,
+       min((h * 997 + 11) % {M31}) AS m3
+FROM hw GROUP BY doc_id
+"""
+
+
+def q_doc_ngram_jaccard(spark, sf_dir):
+    """N-gram (word 2-gram shingle) Jaccard similarity for all pairs among
+    the first 20 docs — the verification stage of near-dup detection."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").where(F.col("doc_id") < 20)
+    words = F.split("text", " ")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(split(text,' ')) - 2), "
+                    "i -> concat(split(text,' ')[i], '_', split(text,' ')[i+1]))"
+                )
+            )
+        ).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), (F.col("x.sh") == F.col("y.sh")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return j.where(F.col("jaccard") > 0.01)
+
+
+SQL_DOC_NGRAM_JACCARD = """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 20),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(ws) - 1),
+                i -> ws[i] || '_' || ws[i + 1]))) AS sh
+  FROM docs
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
+  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT d1, d2,
+       round(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 4) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+WHERE round(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 4) > 0.01
+"""
+
+
+def q_doc_simhash(spark, sf_dir):
+    """SimHash (16-bit) document fingerprints, bucketed — the other
+    classic near-dup sketch."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = _h_spark("w")
+    bit_terms = " + ".join(
+        f"(CASE WHEN size(filter(hs, h -> (h >> {b}) % 2 = 1)) * 2 > size(hs) "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+    hs = d.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"transform(array_distinct(split(text, ' ')), w -> {h})"
+        ).alias("hs"),
+    )
+    sim = hs.select("lang", F.expr(f"CAST({bit_terms} AS BIGINT)").alias("simhash"))
+    return sim.groupBy("lang").agg(
+        F.countDistinct("simhash").alias("n_distinct_sketches"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+_DUCK_BITS = " + ".join(
+    f"(CASE WHEN len(list_filter(hs, h -> (h >> {b}) % 2 = 1)) * 2 > len(hs) "
+    f"THEN {1 << b} ELSE 0 END)"
+    for b in range(16)
+)
+SQL_DOC_SIMHASH = f"""
+WITH hs AS (
+  SELECT doc_id, lang,
+         list_transform(list_distinct(string_split(text, ' ')), w -> {_h_duck("w")}) AS hs
+  FROM documents
+),
+sim AS (SELECT lang, CAST({_DUCK_BITS} AS BIGINT) AS simhash FROM hs)
+SELECT lang, count(DISTINCT simhash) AS n_distinct_sketches, count(*) AS n_docs
+FROM sim GROUP BY lang
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Rolling polynomial document fingerprint (order-sensitive hash of
+    the word sequence)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = _h_spark("w")
+    fp = F.expr(
+        f"aggregate(transform(split(text, ' '), w -> {h}), 0L, "
+        f"(acc, x) -> (acc * 31 + x) % {M31})"
+    )
+    return d.select("lang", fp.alias("fp")).groupBy("lang").agg(
+        F.countDistinct("fp").alias("n_distinct_fp"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+SQL_DOC_FINGERPRINT = f"""
+WITH f AS (
+  SELECT lang,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ' '), w -> {_h_duck("w")})),
+           (acc, x) -> (acc * 31 + x) % {M31}) AS fp
+  FROM documents
+)
+SELECT lang, count(DISTINCT fp) AS n_distinct_fp, count(*) AS n_docs
+FROM f GROUP BY lang
+"""
+
+
+def q_emb_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline: queries = vec_id < 5,
+    top-5 neighbours each among the rest."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    c = e.where(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    dot = F.expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+    nq = F.sqrt(F.expr("aggregate(qv, 0D, (a, x) -> a + x * x)"))
+    nc = F.sqrt(F.expr("aggregate(cv, 0D, (a, x) -> a + x * x)"))
+    scored = q.crossJoin(c).select(
+        "qid", "cid", F.round(dot / (nq * nc), 4).alias("cos")
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("qid", "cid", "cos", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+SQL_EMB_COSINE_TOPK = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= 5),
+scored AS (
+  SELECT qid, cid,
+         round(
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(generate_series(1, len(qv)), i -> qv[i] * cv[i])),
+             (a, x) -> a + x)
+           / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(qv, x -> x * x)), (a, x) -> a + x))
+              * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(cv, x -> x * x)), (a, x) -> a + x))),
+           4) AS cos
+  FROM q, c
+),
+ranked AS (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+  FROM scored
+)
+SELECT qid, cid, cos, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_emb_lsh_buckets(spark, sf_dir):
+    """LSH bucketing for ANN at scale: 4 deterministic hyperplane signs →
+    bucket id; report bucket occupancy (the candidate-pruning stage)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    terms = []
+    for j in range(4):
+        dot = " + ".join(
+            f"CAST(element_at(embedding, {d + 1}) AS DOUBLE) * {((j * 131 + d * 197) % 17) - 8}"
+            for d in range(0, 64, 4)
+        )
+        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END)")
+    bucket = F.expr("CAST(" + " + ".join(terms) + " AS INTEGER)")
+    return (
+        e.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+def _duck_lsh_bucket() -> str:
+    terms = []
+    for j in range(4):
+        dot = " + ".join(
+            f"CAST(embedding[{d + 1}] AS DOUBLE) * {((j * 131 + d * 197) % 17) - 8}"
+            for d in range(0, 64, 4)
+        )
+        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INTEGER)"
+
+
+SQL_EMB_LSH_BUCKETS = f"""
+SELECT {_duck_lsh_bucket()} AS bucket, count(*) AS n_vectors
+FROM embeddings GROUP BY 1
+"""
+
+
+def q_emb_binary_meta(spark, sf_dir):
+    """Multimodal plumbing: vectors treated as opaque binary payloads with
+    typed metadata (schema/bytes accounting per label) — the metadata
+    half of the image/audio column design (decode itself is stubbed in
+    operators/multimodal.py)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_payloads"),
+        F.sum(F.size("embedding") * 4).cast("long").alias("total_bytes"),
+        F.min("vec_id").alias("min_id"),
+        F.max("vec_id").alias("max_id"),
+    )
+
+
+SQL_EMB_BINARY_META = """
+SELECT label, count(*) AS n_payloads,
+       CAST(sum(len(embedding) * 4) AS BIGINT) AS total_bytes,
+       min(vec_id) AS min_id, max(vec_id) AS max_id
+FROM embeddings GROUP BY label
+"""
+
+
+# ===========================================================================
+# The engine itself, oracle-checked end-to-end
+# ===========================================================================
+
+
+def q_engine_cdc_replay(spark, sf_dir):
+    """The real engine (functions.decode + operators.fold) replaying a
+    CDC-shaped change log derived from `events`, oracle-checked against
+    an ANSI-SQL replica of the full LWW semantics (scalar cells +
+    set-element deltas + tombstone/marker existence)."""
+    from scylla_cdc_rust_spark import model as M
+    from scylla_cdc_rust_spark.functions.decode import decode
+    from scylla_cdc_rust_spark.operators.fold import fold
+
+    log = _derived_log(spark, sf_dir).select(
+        F.col("raw_op").cast("tinyint").alias(M.OPERATION),
+        (F.col("ord") + F.lit(M.ORD_BASE_MS)).alias(M.TIME_MS),
+        F.lit(0).cast("long").alias(M.TIME_SEQ),
+        F.lit(0).cast("int").alias(M.BATCH_SEQ),
+        F.lit(None).cast("long").alias(M.TTL),
+        F.col("doc_id"),
+        F.col("tokens"),
+        F.col("n_tok"),
+        F.col("source"),
+        F.col("is_ovw").alias(M.DELETED_PREFIX + "tokens"),
+        F.col("del_elems").alias(M.DELETED_ELEMS_PREFIX + "tokens"),
+    )
+    out = fold(decode(log), collection_modes={"tokens": "set"})
+    return out.select(
+        "doc_id",
+        "tokens",
+        "n_tok",
+        "source",
+        F.col("ttl").cast("long").alias("ttl"),
+        "last_ord",
+    )
+
+
+SQL_ENGINE_CDC_REPLAY = (
+    _log_cte()
+    + f"""
+, per_doc AS (
+  SELECT doc_id,
+         coalesce(max(CASE WHEN base_op IN (3,4) THEN ord END), -1) AS tomb,
+         coalesce(max(CASE WHEN is_ovw THEN ord END), -1)           AS ctomb,
+         max(CASE WHEN base_op IN (1,2) THEN ord END)               AS last_w,
+         arg_max(n_tok,  CASE WHEN base_op IN (1,2) THEN ord END)   AS n_tok,
+         arg_max(source, CASE WHEN base_op IN (1,2) THEN ord END)   AS source
+  FROM log GROUP BY doc_id
+),
+ev AS (
+  SELECT doc_id, ord, unnest(tokens) AS elem, 1 AS act
+  FROM log WHERE tokens IS NOT NULL AND base_op IN (1,2)
+  UNION ALL
+  SELECT doc_id, ord, unnest(del_elems) AS elem, 0 AS act
+  FROM log WHERE del_elems IS NOT NULL AND base_op IN (1,2)
+),
+per_elem AS (
+  SELECT doc_id, elem,
+         arg_max(act, ord * 2 + (1 - act)) AS last_act,
+         max(ord)                          AS last_ord_e
+  FROM ev GROUP BY doc_id, elem
+),
+alive AS (
+  SELECT p.doc_id, list_sort(list(p.elem)) AS tokens
+  FROM per_elem p JOIN per_doc d ON p.doc_id = d.doc_id
+  WHERE p.last_act = 1 AND p.last_ord_e > d.tomb AND p.last_ord_e >= d.ctomb
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       a.tokens              AS tokens,
+       d.n_tok               AS n_tok,
+       d.source              AS source,
+       CAST(NULL AS BIGINT)  AS ttl,
+       d.last_w * 4194304    AS last_ord   -- engine packs ord = time_ms << 22
+FROM per_doc d LEFT JOIN alive a ON d.doc_id = a.doc_id
+WHERE d.last_w > d.tomb
+"""
+)
+
+
+# ===========================================================================
+# Registry
+# ===========================================================================
+
+QUERIES = {
+    "engine_cdc_replay": q_engine_cdc_replay,
+    "cdc_decode": q_cdc_decode,
+    "cdc_fold_scalar": q_cdc_fold_scalar,
+    "cdc_fold_set": q_cdc_fold_set,
+    "cdc_dedup_replay": q_cdc_dedup_replay,
+    "cdc_window_scan": q_cdc_window_scan,
+    "cdc_generation_lookup": q_cdc_generation_lookup,
+    "cdc_stream_groups": q_cdc_stream_groups,
+    "cdc_safety_clamp": q_cdc_safety_clamp,
+    "cdc_checkpoint_resume": q_cdc_checkpoint_resume,
+    "cdc_range_delete_pairing": q_cdc_range_delete_pairing,
+    "cdc_ttl_propagation": q_cdc_ttl_propagation,
+    "cdc_batch_stats": q_cdc_batch_stats,
+    "doc_token_count": q_doc_token_count,
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_quality_score": q_doc_quality_score,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_minhash_signatures": q_doc_minhash_signatures,
+    "doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "doc_simhash": q_doc_simhash,
+    "doc_fingerprint": q_doc_fingerprint,
+    "emb_cosine_topk": q_emb_cosine_topk,
+    "emb_lsh_buckets": q_emb_lsh_buckets,
+    "emb_binary_meta": q_emb_binary_meta,
+}
+
+ORACLE_SQL = {
+    "engine_cdc_replay": SQL_ENGINE_CDC_REPLAY,
+    "cdc_decode": SQL_CDC_DECODE,
+    "cdc_fold_scalar": SQL_CDC_FOLD_SCALAR,
+    "cdc_fold_set": SQL_CDC_FOLD_SET,
+    "cdc_dedup_replay": SQL_CDC_DEDUP_REPLAY,
+    "cdc_window_scan": SQL_CDC_WINDOW_SCAN,
+    "cdc_generation_lookup": SQL_CDC_GENERATION_LOOKUP,
+    "cdc_stream_groups": SQL_CDC_STREAM_GROUPS,
+    "cdc_safety_clamp": SQL_CDC_SAFETY_CLAMP,
+    "cdc_checkpoint_resume": SQL_CDC_CHECKPOINT_RESUME,
+    "cdc_range_delete_pairing": SQL_CDC_RANGE_DELETE_PAIRING,
+    "cdc_ttl_propagation": SQL_CDC_TTL_PROPAGATION,
+    "cdc_batch_stats": SQL_CDC_BATCH_STATS,
+    "doc_token_count": SQL_DOC_TOKEN_COUNT,
+    "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
+    "doc_quality_score": SQL_DOC_QUALITY_SCORE,
+    "doc_lang_id": SQL_DOC_LANG_ID,
+    "doc_minhash_signatures": SQL_DOC_MINHASH_SIGNATURES,
+    "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
+    "doc_simhash": SQL_DOC_SIMHASH,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
+    "emb_lsh_buckets": SQL_EMB_LSH_BUCKETS,
+    "emb_binary_meta": SQL_EMB_BINARY_META,
+}

@@ -42,10 +42,30 @@ WM_SCHEMA = T.StructType(
 
 
 class WatermarkStore:
+    """The state is tiny (one row per stream), so it is mirrored in a
+    driver-side dict (write-through) — Spark jobs are only used to
+    persist snapshots and to broadcast the filter, never to re-read the
+    authoritative state within a run."""
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        self._state: dict[bytes, tuple] | None = None  # sid → (gen, t, batch, n)
         os.makedirs(path, exist_ok=True)
+
+    def _load_state(self) -> dict[bytes, tuple]:
+        if self._state is None:
+            self._state = {}
+            df = self.load()
+            if df is not None:
+                for r in df.collect():
+                    self._state[bytes(r["stream_id"])] = (
+                        r["generation"],
+                        r["time_ms"],
+                        r["batch_id"],
+                        r["n_applied"],
+                    )
+        return self._state
 
     def version(self) -> int | None:
         vf = os.path.join(self.path, "_VERSION")
@@ -64,24 +84,17 @@ class WatermarkStore:
 
     def last_generation(self) -> int | None:
         """log_reader.rs:513-528: resume from the saved generation."""
-        df = self.load()
-        if df is None:
-            return None
-        row = df.where(F.col("stream_id") == F.lit(GENERATION_SENTINEL)).collect()
-        return int(row[0]["generation"]) if row else None
+        g = self._load_state().get(GENERATION_SENTINEL)
+        return int(g[0]) if g else None
 
     def resume_begin_ms(self, lower_ms: int) -> int:
         """stream_reader.rs:226-244: max(lower, min of saved stream times)."""
-        df = self.load()
-        if df is None:
-            return lower_ms
-        row = (
-            df.where(F.col("stream_id") != F.lit(GENERATION_SENTINEL))
-            .agg(F.min("time_ms").alias("m"))
-            .collect()
-        )
-        saved = row[0]["m"]
-        return max(lower_ms, int(saved)) if saved is not None else lower_ms
+        times = [
+            v[1]
+            for k, v in self._load_state().items()
+            if k != GENERATION_SENTINEL and v[1] is not None
+        ]
+        return max(lower_ms, int(min(times))) if times else lower_ms
 
     # ---------- exactly-once filter ----------
 
@@ -89,14 +102,19 @@ class WatermarkStore:
         """Drop events already covered by a stream's watermark (the
         event-level exactly-once guard; reference analog: dedup vs
         already-applied, replication_tests.rs:93-98)."""
-        wm = self.load()
-        if wm is None:
+        state = self._load_state()
+        rows = [
+            (k, v[1])
+            for k, v in state.items()
+            if k != GENERATION_SENTINEL and v[1] is not None
+        ]
+        if not rows:
             return decoded
-        wm = wm.where(F.col("stream_id") != F.lit(GENERATION_SENTINEL)).select(
-            F.col("stream_id").alias("__wm_sid"), F.col("time_ms").alias("__wm_t")
-        )
         from scylla_cdc_rust_spark.model import STREAM_ID, TIME_MS
 
+        wm = self.spark.createDataFrame(
+            rows, "__wm_sid binary, __wm_t long"
+        )
         out = decoded.join(
             F.broadcast(wm), decoded[STREAM_ID] == wm["__wm_sid"], "left"
         )
@@ -121,16 +139,7 @@ class WatermarkStore:
         """
         if isinstance(per_stream, DataFrame):
             per_stream = [(r[0], r[1]) for r in per_stream.collect()]
-        old = self.load()
-        prev: dict[bytes, tuple] = {}
-        if old is not None:
-            for r in old.collect():
-                prev[bytes(r["stream_id"])] = (
-                    r["generation"],
-                    r["time_ms"],
-                    r["batch_id"],
-                    r["n_applied"],
-                )
+        prev = dict(self._load_state())
         for sid, n in per_stream:
             sid = bytes(sid)
             p = prev.get(sid)
@@ -153,10 +162,25 @@ class WatermarkStore:
             for sid, v in prev.items()
         ]
         new_v = (self.version() or 0) + 1
-        df = self.spark.createDataFrame(rows, WM_SCHEMA).coalesce(1)
-        df.write.mode("overwrite").parquet(os.path.join(self.path, f"v{new_v}"))
+        # snapshot persisted driver-side (tiny table; no Spark job needed)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table(
+            {
+                "stream_id": pa.array([r[0] for r in rows], pa.binary()),
+                "generation": pa.array([r[1] for r in rows], pa.int64()),
+                "time_ms": pa.array([r[2] for r in rows], pa.int64()),
+                "batch_id": pa.array([r[3] for r in rows], pa.int64()),
+                "n_applied": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
+        vdir = os.path.join(self.path, f"v{new_v}")
+        os.makedirs(vdir, exist_ok=True)
+        pq.write_table(tbl, os.path.join(vdir, "part-0000.parquet"))
         fd, tmp = tempfile.mkstemp(dir=self.path, prefix="_VERSION.")
         with os.fdopen(fd, "w") as f:
             f.write(str(new_v))
         os.replace(tmp, os.path.join(self.path, "_VERSION"))
+        self._state = prev
         return new_v

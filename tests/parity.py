@@ -1,0 +1,60 @@
+"""Local replica of the driver's Spark-vs-DuckDB correctness gate."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_con(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, (list, tuple)) or v.__class__.__name__ == "ndarray":
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    return v
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=repr)
+    return [cols[i] for i in order], out
+
+
+def compare_query(spark, sf_dir: str, spark_fn, sql: str) -> str | None:
+    """Return None if results match, else a diff description."""
+    sdf = spark_fn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = duck_con(sf_dir)
+    res = con.sql(sql)
+    d_cols = res.columns
+    d_rows = res.fetchall()
+    if sorted(s_cols) != sorted(d_cols):
+        return f"column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    sc, sn = _norm_rows(s_cols, s_rows)
+    dc, dn = _norm_rows(d_cols, d_rows)
+    if len(sn) != len(dn):
+        return f"row count: spark={len(sn)} duck={len(dn)}"
+    for i, (a, b) in enumerate(zip(sn, dn)):
+        if a != b:
+            return f"row {i} differs (cols {sc}):\n  spark={a}\n  duck ={b}"
+    return None
