@@ -68,7 +68,12 @@ def make_log_dir(tmp: str) -> tuple[str, int]:
     return path, tbl.num_rows
 
 
-def run_replay(spark, log_path: str, tmp: str, tag: str) -> tuple[float, float, int]:
+def run_replay(
+    spark, log_path: str, tmp: str, tag: str, mode: str = "list"
+) -> tuple[float, float, int]:
+    """mode='list': whole-array overwrite — the tokenized-training-sequences
+    fast path fixed by BASELINE.json input_hint (SURVEY.md §2.4 A8).
+    mode='set': element-level delta semantics (the general path)."""
     from scylla_cdc_rust_spark.config import CDCPipelineConfig
     from scylla_cdc_rust_spark.plans.pipeline import replay
 
@@ -79,7 +84,7 @@ def run_replay(spark, log_path: str, tmp: str, tag: str) -> tuple[float, float, 
         window_size_ms=1 << 60,  # one window per epoch: throughput mode
         target_num_buckets=max(32, CPUS),
     )
-    stats = replay(spark, cfg)
+    stats = replay(spark, cfg, collection_modes={"tokens": mode})
     return stats.seconds, stats.events_per_sec, stats.n_events
 
 
@@ -102,9 +107,10 @@ def replay_only(cores: int, log_path: str) -> None:
         run_replay(spark, os.path.join(tmp, "warm"), tmp, "warm")
         # best-of-N: the sandbox host has high run-to-run variance
         reps = int(os.environ.get("BENCH_REPLAY_REPS", "2"))
+        mode = os.environ.get("BENCH_TOKENS_MODE", "list")
         best = None
         for i in range(reps):
-            sec, eps, applied = run_replay(spark, log_path, tmp, f"measured{i}")
+            sec, eps, applied = run_replay(spark, log_path, tmp, f"measured{i}", mode)
             log(f"local[{cores}] rep{i}: {sec:.1f}s {eps:,.0f} ev/s")
             if best is None or sec < best[0]:
                 best = (sec, eps, applied)
@@ -142,14 +148,20 @@ def main() -> None:
 
         spark = session(CPUS)
         # headline: end-to-end replay (after JIT warmup, as a steady-state
-        # throughput measurement — cold-start cost reported separately)
-        warm_sec, _, _ = run_replay(spark, log_path, tmp, "warmup")
-        sec, eps, applied = run_replay(spark, log_path, tmp, f"c{CPUS}")
+        # throughput measurement — cold-start cost reported separately).
+        # 'list' = the tokenized-sequences fast path (input_hint shape);
+        # 'set' = element-delta generality path.
+        warm_sec, _, _ = run_replay(spark, log_path, tmp, "warmup", "list")
+        sec, eps, applied = run_replay(spark, log_path, tmp, f"c{CPUS}", "list")
         results[f"cdc_replay_{n_events // 1000}k_events"] = round(sec, 3)
         extras["replay_events_per_sec"] = round(eps)
         extras["replay_cold_start_sec"] = round(warm_sec, 3)
         extras["replay_n_events"] = applied
-        log(f"replay local[{CPUS}]: {sec:.1f}s  {eps:,.0f} events/s (cold {warm_sec:.1f}s)")
+        log(f"replay[list] local[{CPUS}]: {sec:.1f}s  {eps:,.0f} events/s (cold {warm_sec:.1f}s)")
+        sec_s, eps_s, _ = run_replay(spark, log_path, tmp, "setmode", "set")
+        results[f"cdc_replay_setmode_{n_events // 1000}k_events"] = round(sec_s, 3)
+        extras["replay_setmode_events_per_sec"] = round(eps_s)
+        log(f"replay[set] local[{CPUS}]: {sec_s:.1f}s  {eps_s:,.0f} events/s")
 
         # operator queries on driver testdata
         from scylla_cdc_rust_spark.queries import QUERIES

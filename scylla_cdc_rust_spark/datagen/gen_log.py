@@ -214,25 +214,48 @@ def generate_log(spec: LogSpec) -> pa.Table:
     return tbl
 
 
-def write_log(tbl: pa.Table, path: str, shuffle_seed: int = 7, files_per_epoch: int = 4) -> str:
+def write_log(
+    tbl: pa.Table,
+    path: str,
+    shuffle_seed: int = 7,
+    files_per_epoch: int = 4,
+    ordered_files: bool = True,
+) -> str:
     """Write the log as an epoch-partitioned parquet dir.
 
-    Rows are shuffled within each epoch before writing: the engine must
-    not rely on file order, only on the (ms, seq, batch_seq) columns —
-    same contract as the reference's clustering-ordered scan.
+    ``ordered_files=True`` (realistic CDC segment layout): files cover
+    contiguous time ranges, rows WITHIN each file are shuffled — the
+    engine must not rely on row order, only on the (ms, seq, batch_seq)
+    columns (the reference's clustering-ordered scan contract), and the
+    streaming path's safety interval only needs to cover intra-segment
+    skew.  ``ordered_files=False`` shuffles the whole epoch across files
+    (adversarial; batch replay handles it, bounded-lateness streaming
+    by design does not — stream_reader.rs:304-331's clock-drift guard
+    makes the same assumption).
     """
     rng = np.random.default_rng(shuffle_seed)
     epochs = tbl.column(EPOCH).to_numpy()
+    times = tbl.column(TIME_MS).to_numpy()
     os.makedirs(path, exist_ok=True)
     for ep in np.unique(epochs):
         idx = np.flatnonzero(epochs == ep)
-        rng.shuffle(idx)
+        if ordered_files:
+            idx = idx[np.argsort(times[idx], kind="stable")]
+        else:
+            rng.shuffle(idx)
+        chunks = np.array_split(np.arange(len(idx)), max(1, files_per_epoch))
+        if ordered_files:
+            for ch in chunks:
+                perm = rng.permutation(len(ch))
+                idx[ch[0] : ch[0] + len(ch)] = idx[ch[0] + perm]
         sub = tbl.take(pa.array(idx))
         ep_dir = os.path.join(path, f"{EPOCH}={ep}")
         os.makedirs(ep_dir, exist_ok=True)
         sub = sub.drop_columns([EPOCH])
-        chunks = np.array_split(np.arange(len(idx)), max(1, files_per_epoch))
         for i, ch in enumerate(chunks):
             if len(ch):
-                pq.write_table(sub.slice(int(ch[0]), len(ch)), os.path.join(ep_dir, f"part-{i:04d}.parquet"))
+                pq.write_table(
+                    sub.slice(int(ch[0]), len(ch)),
+                    os.path.join(ep_dir, f"part-{i:04d}.parquet"),
+                )
     return path

@@ -178,6 +178,11 @@ def fold_delta(
             "elem",
             (F.col("__ord") * 2 + (1 - F.col("act"))).alias("pk"),
         )
+        # one shuffle for the whole element path: hash-partitioning by key
+        # satisfies the clustering requirement of BOTH the (key, elem)
+        # aggregate and the later per-key collect + join, so Catalyst
+        # inserts no further exchanges downstream
+        packed = packed.repartition(F.col(key))
         per_elem = packed.groupBy(key, "elem").agg(F.max("pk").alias("pk"))
         per_elem = per_elem.select(
             key,

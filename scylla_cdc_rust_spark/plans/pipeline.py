@@ -109,8 +109,10 @@ def replay(
 
     # generation discovery: epochs present in the log (partition listing —
     # the analog of scanning cdc_generation_timestamps, stream_generations.rs:136-144)
+    from scylla_cdc_rust_spark.sources.log_source import epochs_present, time_bounds
+
     if has_epoch:
-        epochs = sorted(
+        epochs = epochs_present(cfg.log_path) or sorted(
             r[0] for r in log.select(EPOCH).distinct().collect()
         )
     else:
@@ -124,13 +126,18 @@ def replay(
         if start_gen is not None and ep < start_gen:
             continue
         edf = log.where(F.col(EPOCH) == ep) if has_epoch else log
-        lo_hi = edf.agg(
-            F.min(TIME_MS).alias("lo"), F.max(TIME_MS).alias("hi")
-        ).collect()[0]
-        if lo_hi["lo"] is None:
-            continue
-        lo = wm.resume_begin_ms(int(lo_hi["lo"])) if wm else int(lo_hi["lo"])
-        hi = int(lo_hi["hi"]) + 1
+        # window bounds from parquet footer stats (driver-side metadata
+        # read); Spark aggregate only as fallback
+        bounds = time_bounds(cfg.log_path, ep if has_epoch else None)
+        if bounds is None:
+            lo_hi = edf.agg(
+                F.min(TIME_MS).alias("lo"), F.max(TIME_MS).alias("hi")
+            ).collect()[0]
+            if lo_hi["lo"] is None:
+                continue
+            bounds = (int(lo_hi["lo"]), int(lo_hi["hi"]))
+        lo = wm.resume_begin_ms(bounds[0]) if wm else bounds[0]
+        hi = bounds[1] + 1
         if cfg.end_timestamp_ms is not None:
             hi = min(hi, cfg.end_timestamp_ms)  # stop_at (log_reader.rs:60-69)
         w = cfg.window_size_ms

@@ -27,6 +27,11 @@ def get_spark(
         # AQE coalesces post-shuffle stages to ~64MB partitions, capping
         # mid-size jobs at the same parallelism regardless of core count
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # smaller input splits: snappy parquet of int-array payloads packs
+        # ~40 events/KB, so a 128MB split is ~5M events — far too coarse to
+        # keep 32 threads busy on epoch-sliced scans (map-side decode +
+        # explode + partial aggregation are scan-partition-bound)
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")

@@ -1,0 +1,175 @@
+"""Structured Streaming micro-batch pipeline over the change log.
+
+Maps the reference's continuous reader onto Spark Structured Streaming:
+
+- the parquet file source (``readStream`` + ``maxFilesPerTrigger``)
+  plays the role of the generation poller discovering new log segments
+  (fetch_generations_continuously, stream_generations.rs:67-110);
+- each ``foreachBatch`` callback advances a driver-side *frontier* =
+  max event time seen so far, then applies every complete half-open
+  window [floor, frontier − safety_interval) — the exact windowing +
+  safety-interval semantics of StreamReader::fetch_cdc
+  (stream_reader.rs:256-345: ``window_end = min(begin + window,
+  now − safety)``); late files within the safety interval are absorbed,
+  same contract as the reference's clock-drift guard;
+- windows read from the log with predicate pushdown rather than
+  buffering batch rows — the streaming source is pure discovery, so
+  nothing is double-written;
+- each window commits: decode → watermark filter → fold_delta →
+  bucket-pruned MERGE → watermark write (C1 is per-commit, strictly
+  stronger than the reference's timer-based saver, checkpoints.rs:32-60);
+- Spark's ``checkpointLocation`` makes file discovery resumable; the
+  engine's own watermark table makes the *apply* resumable even if the
+  streaming checkpoint is lost (C4 resume math + idempotent merge).
+
+``Trigger.AvailableNow`` gives the bounded-replay mode used by tests
+(the reference's stop_at, log_reader.rs:60-69).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from scylla_cdc_rust_spark.config import CDCPipelineConfig
+from scylla_cdc_rust_spark.model import TIME_MS, EPOCH
+from scylla_cdc_rust_spark.operators.merge import ParquetMergeTable
+from scylla_cdc_rust_spark.plans.pipeline import apply_window
+from scylla_cdc_rust_spark.sources.checkpoints import WatermarkStore
+
+
+class StreamingReplay:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: CDCPipelineConfig,
+        collection_modes: dict[str, str] | None = None,
+        key: str = "doc_id",
+        generation: int = 0,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.modes = collection_modes or dict(cfg.collection_modes)
+        self.key = key
+        self.generation = generation
+        self.table = ParquetMergeTable(
+            spark, cfg.target_path, num_buckets=cfg.target_num_buckets, key=key
+        )
+        self.wm = WatermarkStore(spark, cfg.watermark_path)
+        self.frontier_ms: int | None = None  # max event time seen
+        self.floor_ms: int | None = None  # next window begin
+        self.batch_id = 0
+        self.n_applied = 0
+
+    # ---------- window application ----------
+
+    def _apply_upto(self, safe_end_ms: int) -> None:
+        """Apply all complete windows in [floor, safe_end)."""
+        if self.floor_ms is None or safe_end_ms <= self.floor_ms:
+            return
+        log = self.spark.read.parquet(self.cfg.log_path)
+        if EPOCH in log.columns:
+            log = log.where(F.col(EPOCH) == self.generation)
+        w = self.cfg.window_size_ms
+        begin = self.floor_ms
+        while begin < safe_end_ms:
+            end = min(begin + w, safe_end_ms)
+            batch = log.where((F.col(TIME_MS) >= begin) & (F.col(TIME_MS) < end))
+            self.n_applied += apply_window(
+                batch,
+                self.table,
+                self.wm,
+                window_end_ms=end,
+                generation=self.generation,
+                batch_id=self.batch_id,
+                collection_modes=self.modes,
+                key=self.key,
+            )
+            self.batch_id += 1
+            begin = end
+        self.floor_ms = safe_end_ms
+
+    def _on_batch(self, batch_df, _sid: int) -> None:
+        r = batch_df.agg(
+            F.max(TIME_MS).alias("mx"), F.min(TIME_MS).alias("mn")
+        ).collect()[0]
+        if r["mx"] is None:
+            return
+        if self.frontier_ms is None or r["mx"] > self.frontier_ms:
+            self.frontier_ms = int(r["mx"])
+        if self.floor_ms is None:
+            # resume: max(user lower, saved per-stream minimum) — C4
+            # (stream_reader.rs:226-244).  The batch's min is only the
+            # floor when no checkpoint exists; otherwise the saved
+            # watermark wins — unapplied rows may sit below this batch.
+            saved = self.wm.resume_begin_ms(0)
+            self.floor_ms = saved if saved > 0 else int(r["mn"])
+        elif r["mn"] < self.floor_ms:
+            # a file older than the applied floor arrived beyond the
+            # safety interval — same contract violation the reference's
+            # clock-drift guard protects against; fail loudly
+            raise RuntimeError(
+                f"late data below applied floor: {r['mn']} < {self.floor_ms}; "
+                "increase safety_interval_ms or repair via batch replay"
+            )
+        safe_end = self.frontier_ms - self.cfg.safety_interval_ms
+        if self.cfg.end_timestamp_ms is not None:
+            safe_end = min(safe_end, self.cfg.end_timestamp_ms)
+        self._apply_upto(safe_end)
+
+    # ---------- runs ----------
+
+    def run_available_now(self, drain: bool = True) -> int:
+        """Bounded replay of everything currently in the log dir."""
+        schema = self.spark.read.parquet(self.cfg.log_path).schema
+        src = (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", self.cfg.max_files_per_trigger)
+            .parquet(self.cfg.log_path)
+        )
+        q = (
+            src.writeStream.foreachBatch(self._on_batch)
+            .option("checkpointLocation", self.cfg.checkpoint_location)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if drain and self.frontier_ms is not None:
+            # end of bounded run: no more data can arrive — flush the
+            # safety tail (stop_at semantics, stream_reader.rs:336-340)
+            end = self.frontier_ms + 1
+            if self.cfg.end_timestamp_ms is not None:
+                end = min(end, self.cfg.end_timestamp_ms)
+            self._apply_upto(end)
+        return self.n_applied
+
+
+def run_streaming_epochs(
+    spark: SparkSession,
+    cfg: CDCPipelineConfig,
+    collection_modes: dict[str, str] | None = None,
+    key: str = "doc_id",
+) -> int:
+    """Generation barrier over streaming runs: one bounded streaming
+    replay per epoch, strictly sequential (O3, log_reader.rs:171-236)."""
+    from scylla_cdc_rust_spark.sources.log_source import epochs_present
+
+    epochs = epochs_present(cfg.log_path) or [0]
+    wm = WatermarkStore(spark, cfg.watermark_path)
+    start_gen = wm.last_generation()
+    total = 0
+    for ep in epochs:
+        if start_gen is not None and ep < start_gen:
+            continue
+        import os
+
+        ecfg = CDCPipelineConfig(**{**cfg.__dict__})
+        ecfg.checkpoint_location = f"{cfg.checkpoint_location}/epoch={ep}"
+        ep_dir = os.path.join(cfg.log_path, f"epoch={ep}")
+        if os.path.isdir(ep_dir):
+            ecfg.log_path = ep_dir  # scope source + frontier to this generation
+        sr = StreamingReplay(
+            spark, ecfg, collection_modes=collection_modes, key=key, generation=ep
+        )
+        total += sr.run_available_now(drain=True)
+    return total
