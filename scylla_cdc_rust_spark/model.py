@@ -153,7 +153,7 @@ class CDCSchema:
         }
         payload = {}
         metadata = []
-        derived = {OP_NORM, IS_EXPIRATION, ORD, "stream_bucket", "time_bucket"}
+        derived = {OP_NORM, IS_EXPIRATION, ORD, "stream_bucket", "time_bucket", "__salt"}
         for c in columns:
             if c in METADATA_COLS or c in derived:
                 metadata.append(c)

@@ -1,0 +1,136 @@
+"""Approximate nearest neighbours over embedding columns.
+
+Two tiers, both pure DataFrame ops:
+
+- ``brute_force_topk``: exact cosine top-k via crossJoin — the
+  correctness baseline; scale cost is |Q|×|C|, so only for small query
+  sets or verification samples.
+- ``lsh_topk``: random-hyperplane LSH — candidates share a sign-bucket
+  (one equi-join on the bucket id), cosine computed only inside
+  buckets; multiple hash tables (rotations) trade recall for cost.
+  This is the 100 TB path: bucket id is a plain int column, so the join
+  shuffles hash-partitioned by bucket and prunes everything else.
+
+Dot products use ``zip_with``/``aggregate`` (JVM, codegen) — no Python
+in the hot path.  Hyperplanes are deterministic integer grids so runs
+are reproducible and oracle-checkable (queries.py emb_* entries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    q = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = q.crossJoin(c).select(
+        "qid", "cid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos")
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(j: int, dim: int, stride: int = 1):
+    """Deterministic pseudo-random integer hyperplane (reproducible)."""
+    return [((j * 131 + d * 197) % 17) - 8 for d in range(0, dim, stride)]
+
+
+def lsh_bucket(vec_col, dim: int, n_planes: int = 8, stride: int = 1):
+    """Sign-bucket id from n deterministic hyperplanes."""
+    bucket = F.lit(0)
+    for j in range(n_planes):
+        g = _hyperplane(j, dim, stride)
+        dot = F.lit(0.0)
+        for i, w in enumerate(g):
+            dot = dot + F.element_at(vec_col, i * stride + 1).cast("double") * F.lit(w)
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(0)
+    return bucket.cast("int")
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed ANN: join queries to candidates sharing the sign bucket."""
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("cid"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    scored = q.join(c, "bucket").select(
+        "qid", "cid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos")
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+) -> DataFrame:
+    """Near-duplicate vector pairs via LSH buckets + cosine threshold."""
+    b = df.select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("v"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    x, y = b.alias("x"), b.alias("y")
+    pairs = x.join(
+        y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id"))
+    ).select(
+        F.col("x.id").alias("d1"),
+        F.col("y.id").alias("d2"),
+        F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("cos"),
+    )
+    return pairs.where(F.col("cos") >= threshold)

@@ -1,0 +1,163 @@
+"""Document deduplication operators for training-data pipelines.
+
+Five dedup families, each shaped for 100 TB inputs:
+
+- exact: hash-groupBy on a content digest (one shuffle of digests, not
+  documents);
+- MinHash + LSH: shingle → k minhashes → b bands → bucket join — the
+  candidate join is on (band, band_hash), never all-pairs;
+- SimHash: 16/64-bit sign sketch, near-dups = same sketch bucket (or
+  small Hamming radius via rotations);
+- n-gram Jaccard: exact verification on candidate pairs only;
+- embedding cosine near-dup: delegate to operators/ann.py buckets.
+
+All hashes are the portable md5-prefix family (functions/text.py), so
+every operator is DuckDB-oracle-checkable (queries.py exercises them
+through the driver gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scylla_cdc_rust_spark.functions.text import M31, word_hash
+
+#: (a, b) parameters for the minhash permutation family
+MINHASH_PARAMS = [(1, 0), (31, 7), (131, 3), (997, 11), (8191, 19), (131071, 23),
+                  (524287, 29), (2147483647 % M31, 31)]
+
+
+def exact_dedup(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Keep one survivor (min key) per exact content digest."""
+    g = df.groupBy(F.md5(F.col(text)).alias("__h")).agg(
+        F.min(key).alias("survivor"), F.count("*").alias("copies")
+    )
+    return (
+        df.join(
+            g.select(F.col("survivor").alias(key)),
+            on=key,
+            how="left_semi",
+        )
+    )
+
+
+def shingles(text_col, n: int = 2):
+    """Distinct word n-gram shingles of a text column."""
+    ws = F.split(text_col, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
+            lambda i: F.concat_ws("_", *[F.element_at(ws, i + j + 1) for j in range(n)]),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, key: str = "doc_id", text: str = "text", num_hashes: int = 8
+) -> DataFrame:
+    """k-minhash signature per document (shingle → hash → min per fn)."""
+    params = MINHASH_PARAMS[:num_hashes]
+    sh = df.select(key, F.explode(shingles(F.col(text))).alias("sh"))
+    h = sh.select(key, word_hash(F.col("sh")).alias("h"))
+    aggs = [
+        F.min((F.col("h") * a + b) % M31).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return h.groupBy(key).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, key: str = "doc_id", num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    Scale shape: explode signatures into (band, band_hash) rows and
+    self-join on the bucket — cost is Σ bucket_size², never n²."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+        h = F.lit(0).cast("long")
+        for c in cols:
+            h = (h * 31 + c) % M31
+        band_cols.append(F.struct(F.lit(b).alias("band"), h.alias("bh")))
+    buckets = sigs.select(key, F.explode(F.array(*band_cols)).alias("bb")).select(
+        key, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .select(F.col(f"a.{key}").alias("d1"), F.col(f"b.{key}").alias("d2"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame, pairs: DataFrame, key: str = "doc_id", text: str = "text", n: int = 2
+) -> DataFrame:
+    """Exact Jaccard verification on candidate pairs (d1, d2)."""
+    sh = df.select(key, F.explode(shingles(F.col(text), n)).alias("sh"))
+    sizes = sh.groupBy(key).agg(F.count("*").alias("sz"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        pairs.join(x, pairs["d1"] == F.col(f"x.{key}"))
+        .join(y, (pairs["d2"] == F.col(f"y.{key}")) & (F.col("x.sh") == F.col("y.sh")))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(key, "d1").withColumnRenamed("sz", "sz1"), "d1")
+        .join(sizes.withColumnRenamed(key, "d2").withColumnRenamed("sz", "sz2"), "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(df: DataFrame, key: str = "doc_id", text: str = "text", bits: int = 16) -> DataFrame:
+    """Per-document SimHash sketch (majority vote per bit over word hashes)."""
+    hs = df.select(
+        key,
+        F.transform(F.array_distinct(F.split(F.col(text), " ")), word_hash).alias("hs"),
+    )
+    def _bit_pred(mask: int):
+        # single-arg lambda factory: a default-arg lambda would be treated
+        # as Spark's two-arg (element, index) form
+        return lambda h: (h.bitwiseAND(F.lit(mask))) != 0
+
+    term = F.lit(0).cast("long")
+    for b in range(bits):
+        bit_set = F.size(F.filter(F.col("hs"), _bit_pred(1 << b)))
+        term = term + F.when(bit_set * 2 > F.size(F.col("hs")), F.lit(1 << b)).otherwise(0)
+    return hs.select(key, term.alias("simhash"))
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → Jaccard
+    verify → drop the higher-key member of each confirmed pair."""
+    sigs = minhash_signatures(df, key, text, num_hashes)
+    cands = minhash_lsh_candidates(sigs, key, num_hashes, bands)
+    verified = ngram_jaccard(df, cands, key, text).where(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    losers = verified.select(F.col("d2").alias(key)).distinct()
+    return df.join(losers, on=key, how="left_anti")

@@ -93,17 +93,35 @@ def split_modes(
 
 def fold_delta(
     df: DataFrame,
-    key: str = "doc_id",
+    key: str | list[str] = "doc_id",
     collection_modes: dict[str, str] | None = None,
     schema: CDCSchema | None = None,
+    set_impl: str = "elements",
 ) -> DataFrame:
     """Fold a decoded CDC batch into one composable delta record per key.
 
-    Input must carry decode outputs (``op``, ``ord``).
+    Input must carry decode outputs (``op``, ``ord``).  ``key`` may be a
+    list (used by the salted two-stage fold, operators/salt.py).
+
+    ``set_impl`` picks the physical strategy for 'set'-mode columns:
+
+    - ``"elements"`` (default): explode to (key, element) events →
+      element-level argmax → collect.  Finest skew distribution (a hot
+      key spreads over its elements), but shuffles one row per element
+      occurrence.
+    - ``"arrays"``: collect each key's change structs and fold them with
+      a higher-order ``aggregate`` over the sorted sequence.  Shuffles
+      packed int arrays (~6× fewer bytes), one exchange instead of two;
+      per-key cost is O(ops · set_size), so prefer it when sets are
+      small-to-medium and keys are not pathologically hot.
+
+    Both implementations produce identical delta records and are tested
+    against the same oracle.
     """
+    keys = [key] if isinstance(key, str) else list(key)
     collection_modes = collection_modes or {"tokens": "set"}
     schema = schema or CDCSchema.from_df_schema(df.schema)
-    payload = [c for c in schema.payload if c != key]
+    payload = [c for c in schema.payload if c not in keys]
     cell_cols, set_cols = split_modes(payload, collection_modes)
 
     is_w = F.col(OP_NORM).isin(_W)
@@ -140,7 +158,12 @@ def fold_delta(
             )
         )
 
-    delta = df.groupBy(key).agg(*aggs)
+    delta = df.groupBy(*keys).agg(*aggs)
+
+    if set_cols and set_impl == "arrays":
+        return _set_arrays_path(
+            df, delta, keys, cell_cols, set_cols, schema, is_w, is_d, ordc
+        )
 
     # ---- element-level LWW for 'set' columns (explode → argmax → collect) ----
     for c in set_cols:
@@ -152,7 +175,7 @@ def fold_delta(
         events = (
             df.where(is_w & (F.col(c).isNotNull() | del_elems.isNotNull()))
             .select(
-                F.col(key),
+                *[F.col(k) for k in keys],
                 ordc.alias("__ord"),
                 F.explode(
                     F.concat(
@@ -167,14 +190,14 @@ def fold_delta(
                     )
                 ).alias("ev"),
             )
-            .select(key, "__ord", F.col("ev.e").alias("elem"), F.col("ev.a").alias("act"))
+            .select(*keys, "__ord", F.col("ev.e").alias("elem"), F.col("ev.a").alias("act"))
         )
         # last event per (key, element); removal beats addition at equal ord.
         # (ord, act) packs into one long — max() is hash-aggregable with a
         # vectorized partial aggregate, unlike max_by over a struct which
         # falls back to SortAggregate (hot-path at 10^10 events)
         packed = events.select(
-            key,
+            *keys,
             "elem",
             (F.col("__ord") * 2 + (1 - F.col("act"))).alias("pk"),
         )
@@ -182,23 +205,23 @@ def fold_delta(
         # satisfies the clustering requirement of BOTH the (key, elem)
         # aggregate and the later per-key collect + join, so Catalyst
         # inserts no further exchanges downstream
-        packed = packed.repartition(F.col(key))
-        per_elem = packed.groupBy(key, "elem").agg(F.max("pk").alias("pk"))
+        packed = packed.repartition(*[F.col(k) for k in keys])
+        per_elem = packed.groupBy(*keys, "elem").agg(F.max("pk").alias("pk"))
         per_elem = per_elem.select(
-            key,
+            *keys,
             "elem",
             (1 - F.col("pk") % 2).cast("int").alias("last_act"),
             F.shiftright(F.col("pk"), 1).alias("last_ord_e"),
         )
-        evs = per_elem.groupBy(key).agg(
+        evs = per_elem.groupBy(*keys).agg(
             F.collect_list(F.struct("last_ord_e", "elem", "last_act")).alias(
                 f"__evs_{c}"
             )
         )
-        delta = delta.join(evs, on=key, how="left")
+        delta = delta.join(evs, on=keys, how="left")
 
     # ---- summarize set columns into alive / removed / reset ----
-    out_cols = [F.col(key), F.col("row_tomb"), F.col("marker"), F.col("last_ord"), F.col("ttl_v")]
+    out_cols = [*[F.col(k) for k in keys], F.col("row_tomb"), F.col("marker"), F.col("last_ord"), F.col("ttl_v")]
     for c in cell_cols:
         # mentions at/before the batch row tombstone are dead: equivalent to
         # "tombstoned and unmentioned", so drop them from the delta
@@ -230,6 +253,82 @@ def fold_delta(
         out_cols.append(
             ((thr_row > NEG_INF) | (thr_coll > NEG_INF)).alias(f"{c}__reset")
         )
+    return delta.select(*out_cols)
+
+
+def _set_arrays_path(df, delta, keys, cell_cols, set_cols, schema, is_w, is_d, ordc):
+    """'arrays' strategy for set columns: per-key sorted change sequence
+    folded with a higher-order aggregate (see fold_delta docstring)."""
+    for c in set_cols:
+        elem_t = schema.payload[c].spark_type
+        arr_t = elem_t.simpleString() if elem_t is not None else "array<int>"
+        empty = F.array().cast(arr_t)
+        dflag = _dcol(df, DELETED_PREFIX + c)
+        del_elems = (
+            F.coalesce(F.col(DELETED_ELEMS_PREFIX + c), empty)
+            if DELETED_ELEMS_PREFIX + c in df.columns
+            else empty
+        )
+        ev = F.struct(
+            ordc.alias("o"),
+            F.coalesce(F.col(c), empty).alias("add"),
+            del_elems.alias("rem"),
+            # row deletes behave as a collection reset within the sequence
+            (dflag | is_d).alias("ovw"),
+        )
+        events = df.where(
+            is_d | (is_w & (F.col(c).isNotNull() | dflag | (F.size(del_elems) > 0)))
+        ).select(*keys, ev.alias("e"))
+        per_key = events.groupBy(*keys).agg(
+            F.sort_array(F.collect_list("e")).alias("__es")
+        )
+        init = F.struct(empty.alias("alive"), empty.alias("removed"))
+        state = F.aggregate(
+            F.col("__es"),
+            init,
+            lambda acc, e: F.when(
+                e["ovw"],
+                F.struct(
+                    F.array_sort(F.array_distinct(e["add"])).alias("alive"),
+                    empty.alias("removed"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.array_sort(
+                        F.array_except(F.array_union(acc["alive"], e["add"]), e["rem"])
+                    ).alias("alive"),
+                    F.array_sort(
+                        F.array_union(F.array_except(acc["removed"], e["add"]), e["rem"])
+                    ).alias("removed"),
+                )
+            ),
+        )
+        folded = per_key.select(
+            *keys,
+            state["alive"].alias(f"{c}__alive"),
+            state["removed"].alias(f"{c}__removed"),
+        )
+        delta = delta.join(folded, on=keys, how="left")
+
+    out_cols = [*[F.col(k) for k in keys], F.col("row_tomb"), F.col("marker"),
+                F.col("last_ord"), F.col("ttl_v")]
+    for c in cell_cols:
+        alive_mention = F.col(f"{c}__ord") > F.col("row_tomb")
+        out_cols += [
+            F.when(alive_mention, F.col(f"{c}__v")).alias(f"{c}__v"),
+            F.when(alive_mention, F.col(f"{c}__ord")).alias(f"{c}__ord"),
+        ]
+    for c in set_cols:
+        elem_t = schema.payload[c].spark_type
+        arr_t = elem_t.simpleString() if elem_t is not None else "array<int>"
+        empty = F.array().cast(arr_t)
+        out_cols += [
+            F.coalesce(F.col(f"{c}__alive"), empty).alias(f"{c}__alive"),
+            F.coalesce(F.col(f"{c}__removed"), empty).alias(f"{c}__removed"),
+            ((F.col("row_tomb") > NEG_INF) | (F.col(f"{c}__ctomb") > NEG_INF)).alias(
+                f"{c}__reset"
+            ),
+        ]
     return delta.select(*out_cols)
 
 
@@ -327,6 +426,7 @@ def apply_delta(
     payload: list[str] | None = None,
     collection_modes: dict[str, str] | None = None,
     keep_tombstones: bool = True,
+    extra_payload: list[str] | None = None,
 ) -> DataFrame:
     """Cell-wise MERGE of a batch delta into existing target state.
 
@@ -334,6 +434,11 @@ def apply_delta(
     is_deleted.  Returns the new target state (same schema).  This is
     the relational body of ``MERGE INTO ... WHEN MATCHED UPDATE / WHEN
     NOT MATCHED INSERT / WHEN MATCHED DELETE`` (SURVEY.md §2.4 A1–A5).
+
+    ``extra_payload``: target columns with no counterpart in this batch
+    (schema evolution — a column the log stopped/has not started
+    carrying): values pass through untouched unless the row is
+    tombstoned.
     """
     payload = payload or _payload_from_delta(delta, key)
     cell_cols, set_cols = split_modes(payload, collection_modes or {"tokens": "set"})
@@ -354,14 +459,22 @@ def apply_delta(
     def dside(n: str) -> Column:
         return F.when(~stale, F.col(f"d.{n}"))
 
+    target_cols = set(target.columns)
+
     def tside(n: str) -> Column:
         if n == "__has_marker":
             return F.col("t.__has_marker") & ~F.coalesce(F.col("t.is_deleted"), F.lit(False))
+        if n not in target_cols:
+            return F.lit(None)  # newly added column (schema evolution)
         return F.when(~F.coalesce(F.col("t.is_deleted"), F.lit(True)), F.col(f"t.{n}"))
 
     values, exists, marker, had_tomb = _exists_and_values(
         dside, cell_cols, set_cols, tside
     )
+    for c in extra_payload or []:
+        ev = F.when(~F.coalesce(had_tomb, F.lit(False)), tside(c))
+        values[c] = ev
+        exists = exists | F.coalesce(ev.isNotNull(), F.lit(False))
 
     new_ttl = (
         F.when(dside("last_ord").isNotNull(), dside("ttl_v"))
@@ -376,7 +489,7 @@ def apply_delta(
 
     proj = [F.coalesce(F.col(f"d.{key}"), F.col(f"t.{key}")).alias(key)]
     proj += [
-        F.when(exists, values[c]).alias(c) for c in payload
+        F.when(exists, values[c]).alias(c) for c in [*payload, *(extra_payload or [])]
     ]
     proj += [
         F.when(exists, new_ttl).alias("ttl"),

@@ -115,30 +115,78 @@ class ParquetMergeTable:
         payload: list[str] | None = None,
         collection_modes: dict[str, str] | None = None,
         keys_hint: DataFrame | None = None,
+        assume_all_buckets: bool = False,
     ) -> dict:
         """Apply a fold_delta batch; rewrite only affected buckets.
 
         ``keys_hint``: optionally the (cheaper) pre-fold batch — affected
         buckets are derived from its key column with a column-pruned scan
         instead of materializing the delta twice.
+
+        ``assume_all_buckets``: bulk mode — when a batch spans a whole
+        epoch its keys hit essentially every bucket, so skip the pruning
+        scan (always correct; pruning is an optimization for small
+        incremental windows).
         """
         t0 = time.time()
         delta = delta.withColumn(BUCKET_COL, bucket_of(F.col(self.key), self.num_buckets))
         # affected buckets: tiny driver-side list (≤ num_buckets ints) —
         # the partition-pruning step of the MERGE
-        src = keys_hint if keys_hint is not None else delta
-        affected = [
-            r[0]
-            for r in src.select(
-                bucket_of(F.col(self.key), self.num_buckets).alias(BUCKET_COL)
-            )
-            .distinct()
-            .collect()
-        ]
+        if assume_all_buckets:
+            affected = list(range(self.num_buckets))
+        else:
+            src = keys_hint if keys_hint is not None else delta
+            affected = [
+                r[0]
+                for r in src.select(
+                    bucket_of(F.col(self.key), self.num_buckets).alias(BUCKET_COL)
+                )
+                .distinct()
+                .collect()
+            ]
         if not affected:
             return {"buckets_rewritten": 0, "rows_written": 0, "seconds": 0.0}
 
+        # ---- schema evolution (column adds / type widenings) ----
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        from scylla_cdc_rust_spark.operators.fold import _payload_from_delta
+        from scylla_cdc_rust_spark.operators.schema_evolution import diff_schemas
+
+        delta_payload = payload or _payload_from_delta(delta, self.key)
+        incoming_types: dict[str, T.DataType] = {}
+        dschema = {f.name: f.dataType for f in delta.schema.fields}
+        for c in delta_payload:
+            if f"{c}__v" in dschema:
+                incoming_types[c] = dschema[f"{c}__v"]
+            elif f"{c}__alive" in dschema:
+                incoming_types[c] = dschema[f"{c}__alive"]
+        m0 = self._manifest()
+        stored_struct = None
+        if m0 is not None and m0.get("schema"):
+            full = T.StructType.fromJson(_json.loads(m0["schema"]))
+            book = {self.key, "ttl", "last_ord", "__has_marker", "is_deleted", BUCKET_COL}
+            stored_struct = T.StructType(
+                [f for f in full.fields if f.name not in book]
+            )
+        evolved, _added, needs_rewrite = diff_schemas(stored_struct, incoming_types)
+        extra_payload = [
+            f.name for f in (stored_struct.fields if stored_struct else [])
+            if f.name not in delta_payload
+        ]
+        if needs_rewrite and m0 is not None:
+            # widening: every existing bucket is rewritten once with casts
+            affected = sorted(set(affected) | {int(b) for b in m0["buckets"]})
+
         current = self.read(buckets=affected)
+        if current is not None and stored_struct is not None:
+            for f in stored_struct.fields:
+                if f.name in evolved and evolved[f.name] != f.dataType:
+                    current = current.withColumn(
+                        f.name, F.col(f.name).cast(evolved[f.name])
+                    )
         if current is None:
             from scylla_cdc_rust_spark.operators.fold import finalize
 
@@ -155,8 +203,9 @@ class ParquetMergeTable:
                 current.drop(BUCKET_COL),
                 delta.drop(BUCKET_COL),
                 key=self.key,
-                payload=payload,
+                payload=delta_payload,
                 collection_modes=collection_modes,
+                extra_payload=extra_payload,
             )
         new_state = new_state.withColumn(
             BUCKET_COL, bucket_of(F.col(self.key), self.num_buckets)

@@ -61,6 +61,7 @@ def apply_window(
     collection_modes: dict[str, str],
     key: str = "doc_id",
     count_events: bool = True,
+    bulk: bool = False,
 ) -> int:
     """One micro-batch cycle: decode → filter → fold → merge → checkpoint."""
     decoded = decode(batch)
@@ -74,6 +75,7 @@ def apply_window(
         payload=payload,
         collection_modes=collection_modes,
         keys_hint=decoded.select(key),
+        assume_all_buckets=bulk,
     )
     n = 0
     if wm is not None:
@@ -100,8 +102,6 @@ def replay(
     """Replay the whole change log at cfg.log_path into the target table."""
     collection_modes = collection_modes or dict(cfg.collection_modes)
     t0 = time.time()
-    log = spark.read.parquet(cfg.log_path)
-    has_epoch = EPOCH in log.columns
     table = ParquetMergeTable(
         spark, cfg.target_path, num_buckets=cfg.target_num_buckets, key=key
     )
@@ -111,12 +111,18 @@ def replay(
     # the analog of scanning cdc_generation_timestamps, stream_generations.rs:136-144)
     from scylla_cdc_rust_spark.sources.log_source import epochs_present, time_bounds
 
-    if has_epoch:
-        epochs = epochs_present(cfg.log_path) or sorted(
-            r[0] for r in log.select(EPOCH).distinct().collect()
-        )
+    epoch_dirs = epochs_present(cfg.log_path)
+    if epoch_dirs is not None:
+        epochs, has_epoch, scoped = epoch_dirs, True, True
     else:
-        epochs = [0]
+        log = spark.read.parquet(cfg.log_path)
+        has_epoch = EPOCH in log.columns
+        scoped = False
+        epochs = (
+            sorted(r[0] for r in log.select(EPOCH).distinct().collect())
+            if has_epoch
+            else [0]
+        )
 
     # resume (C4): skip fully-applied generations
     start_gen = wm.last_generation() if wm else None
@@ -125,7 +131,12 @@ def replay(
     for ep in epochs:  # generation barrier: strictly sequential (O3)
         if start_gen is not None and ep < start_gen:
             continue
-        edf = log.where(F.col(EPOCH) == ep) if has_epoch else log
+        if scoped:
+            # per-generation scoped read: each epoch may carry an evolved
+            # schema (column adds / widenings) — M6
+            edf = spark.read.parquet(f"{cfg.log_path}/{EPOCH}={ep}")
+        else:
+            edf = log.where(F.col(EPOCH) == ep) if has_epoch else log
         # window bounds from parquet footer stats (driver-side metadata
         # read); Spark aggregate only as fallback
         bounds = time_bounds(cfg.log_path, ep if has_epoch else None)
@@ -154,6 +165,9 @@ def replay(
                 batch_id=batch_id,
                 collection_modes=collection_modes,
                 key=key,
+                # a single window spanning the whole epoch touches ~every
+                # bucket: skip the pruning scan (bulk-load mode)
+                bulk=(begin == lo and end == hi),
             )
             stats.n_events += n
             stats.n_batches += 1

@@ -1035,12 +1035,90 @@ WHERE d.last_w > d.tomb
 )
 
 
+def _cdc_shaped_log(spark, sf_dir):
+    from scylla_cdc_rust_spark import model as M
+
+    return _derived_log(spark, sf_dir).select(
+        F.sha2(F.col("sid").cast("string"), 256).cast("binary").alias(M.STREAM_ID),
+        F.col("raw_op").cast("tinyint").alias(M.OPERATION),
+        (F.col("ord") + F.lit(M.ORD_BASE_MS)).alias(M.TIME_MS),
+        F.lit(0).cast("long").alias(M.TIME_SEQ),
+        F.lit(0).cast("int").alias(M.BATCH_SEQ),
+        F.lit(None).cast("long").alias(M.TTL),
+        F.col("doc_id"),
+        F.col("tokens"),
+        F.col("n_tok"),
+        F.col("source"),
+        F.col("is_ovw").alias(M.DELETED_PREFIX + "tokens"),
+        F.col("del_elems").alias(M.DELETED_ELEMS_PREFIX + "tokens"),
+    )
+
+
+def q_engine_consumer_replay(spark, sf_dir):
+    """The reference-shaped sequential Consumer path (operators/
+    consumer_api.py: repartition by stream → in-order mapInPandas) run
+    end-to-end against the same ANSI oracle as the declarative fold —
+    proving the two execution strategies agree."""
+    from scylla_cdc_rust_spark.functions.decode import decode
+    from scylla_cdc_rust_spark.operators.consumer_api import replay_consumer_fold
+
+    log = _cdc_shaped_log(spark, sf_dir)
+    out = replay_consumer_fold(decode(log), collection_modes={"tokens": "set"})
+    return out.select(
+        "doc_id", "tokens", "n_tok", "source",
+        F.col("ttl").cast("long").alias("ttl"), "last_ord",
+    )
+
+
+def q_engine_salted_replay(spark, sf_dir):
+    """Salted two-stage fold (operators/salt.py, north-rule skew path) in
+    'list' mode, oracle-checked."""
+    from scylla_cdc_rust_spark.functions.decode import decode
+    from scylla_cdc_rust_spark.operators.fold import finalize
+    from scylla_cdc_rust_spark.operators.salt import fold_delta_salted
+
+    log = _cdc_shaped_log(spark, sf_dir)
+    delta = fold_delta_salted(
+        decode(log), salt_factor=8, collection_modes={"tokens": "list"}
+    )
+    out = finalize(
+        delta, payload=["tokens", "n_tok", "source"],
+        collection_modes={"tokens": "list"},
+    )
+    return out.select(
+        "doc_id", "tokens", "n_tok", "source",
+        F.col("ttl").cast("long").alias("ttl"), "last_ord",
+    )
+
+
+# list mode: tokens is a whole cell — value wins over the tombstone flag
+# within one change; every write in the derived log carries tokens, so the
+# final array is simply the value at the max write ord
+SQL_ENGINE_LIST_REPLAY = (
+    _log_cte()
+    + """
+SELECT doc_id,
+       arg_max(tokens, CASE WHEN base_op IN (1,2) THEN ord END) AS tokens,
+       arg_max(n_tok,  CASE WHEN base_op IN (1,2) THEN ord END) AS n_tok,
+       arg_max(source, CASE WHEN base_op IN (1,2) THEN ord END) AS source,
+       CAST(NULL AS BIGINT) AS ttl,
+       max(CASE WHEN base_op IN (1,2) THEN ord END) * 4194304 AS last_ord
+FROM log
+GROUP BY doc_id
+HAVING max(CASE WHEN base_op IN (1,2) THEN ord END)
+     > coalesce(max(CASE WHEN base_op IN (3,4) THEN ord END), -1)
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
 
 QUERIES = {
     "engine_cdc_replay": q_engine_cdc_replay,
+    "engine_consumer_replay": q_engine_consumer_replay,
+    "engine_salted_replay": q_engine_salted_replay,
     "cdc_decode": q_cdc_decode,
     "cdc_fold_scalar": q_cdc_fold_scalar,
     "cdc_fold_set": q_cdc_fold_set,
@@ -1068,6 +1146,8 @@ QUERIES = {
 
 ORACLE_SQL = {
     "engine_cdc_replay": SQL_ENGINE_CDC_REPLAY,
+    "engine_consumer_replay": SQL_ENGINE_CDC_REPLAY,
+    "engine_salted_replay": SQL_ENGINE_LIST_REPLAY,
     "cdc_decode": SQL_CDC_DECODE,
     "cdc_fold_scalar": SQL_CDC_FOLD_SCALAR,
     "cdc_fold_set": SQL_CDC_FOLD_SET,

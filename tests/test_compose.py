@@ -89,3 +89,39 @@ def test_reapply_same_window_is_idempotent_under_lww(spark):
     visible = target2.where(~target2.is_deleted).drop("__has_marker", "is_deleted")
     engine = normalize_engine(visible.collect())
     assert_state_equal(engine, oracle)
+
+
+def test_windowed_apply_arrays_impl(spark):
+    """Cross-batch composition with the 'arrays' set strategy."""
+    import numpy as np
+    import pyarrow as pa
+
+    from scylla_cdc_rust_spark.model import TIME_MS
+    from scylla_cdc_rust_spark.operators.fold import (
+        apply_delta,
+        finalize,
+        fold_delta,
+        with_bookkeeping,
+    )
+
+    tbl = generate_log(LogSpec(n_events=6_000, n_docs=250, seed=61))
+    oracle = oracle_replay(tbl, collection_modes=MODES)
+    times = tbl.column(TIME_MS).to_numpy()
+    bounds = np.quantile(times, np.linspace(0, 1, 6))
+    bounds[-1] += 1
+    target = None
+    for i in range(5):
+        idx = np.flatnonzero((times >= bounds[i]) & (times < bounds[i + 1]))
+        if not len(idx):
+            continue
+        batch = spark_df_from_arrow(spark, tbl.take(pa.array(idx)))
+        delta = fold_delta(decode(batch), collection_modes=MODES, set_impl="arrays")
+        if target is None:
+            target = with_bookkeeping(
+                finalize(delta, payload=PAYLOAD, collection_modes=MODES)
+            )
+        else:
+            target = apply_delta(target, delta, payload=PAYLOAD, collection_modes=MODES)
+        target = target.localCheckpoint(eager=True)
+    visible = target.where(~target.is_deleted).drop("__has_marker", "is_deleted")
+    assert_state_equal(normalize_engine(visible.collect()), oracle)

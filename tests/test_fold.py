@@ -11,10 +11,11 @@ from scylla_cdc_rust_spark.datagen.gen_log import LogSpec, generate_log
 from tests.util import check_fold_matches_oracle
 
 
+@pytest.mark.parametrize("set_impl", ["elements", "arrays"])
 @pytest.mark.parametrize("seed", [42, 7, 99])
-def test_fold_random_small(spark, seed):
+def test_fold_random_small(spark, seed, set_impl):
     tbl = generate_log(LogSpec(n_events=2_000, n_docs=120, seed=seed))
-    check_fold_matches_oracle(spark, tbl)
+    check_fold_matches_oracle(spark, tbl, set_impl=set_impl)
 
 
 def test_fold_random_medium(spark):
@@ -32,3 +33,13 @@ def test_fold_list_mode(spark):
     # 'list' collection mode: whole-array overwrite fast path (A8)
     tbl = generate_log(LogSpec(n_events=5_000, n_docs=200, seed=11))
     check_fold_matches_oracle(spark, tbl, modes={"tokens": "list"})
+
+
+def test_fold_arrays_impl_medium(spark):
+    tbl = generate_log(LogSpec(n_events=15_000, n_docs=600, seed=88, n_epochs=2))
+    check_fold_matches_oracle(spark, tbl, set_impl="arrays")
+
+
+def test_fold_arrays_impl_hot_key(spark):
+    tbl = generate_log(LogSpec(n_events=8_000, n_docs=60, seed=6, hot_doc_frac=0.6))
+    check_fold_matches_oracle(spark, tbl, set_impl="arrays")

@@ -1,0 +1,191 @@
+"""Training-data pipeline operators: dedup families, ANN, text analysis,
+multimodal plumbing, generation metadata, timeuuid decode."""
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_keeps_survivors(spark, docs):
+    from scylla_cdc_rust_spark.operators.dedup_docs import exact_dedup
+
+    base = docs.count()
+    # inject duplicates: same text, higher doc_id
+    dups = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    out = exact_dedup(docs.unionByName(dups))
+    assert out.count() == base
+    assert out.where(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_minhash_lsh_finds_injected_near_dups(spark, docs):
+    from scylla_cdc_rust_spark.operators.dedup_docs import (
+        minhash_lsh_candidates,
+        minhash_lsh_dedup,
+        minhash_signatures,
+        ngram_jaccard,
+    )
+
+    small = docs.where(F.col("doc_id") < 30)
+    # near-dup: copy with one word appended
+    near = small.limit(3).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    all_docs = small.unionByName(near)
+    sigs = minhash_signatures(all_docs)
+    cands = minhash_lsh_candidates(sigs)
+    verified = ngram_jaccard(all_docs, cands).where(F.col("jaccard") > 0.7)
+    found = {(r["d1"], r["d2"]) for r in verified.collect()}
+    # every injected clone is recovered (the corpus also contains natural
+    # near-dups, e.g. (8, 12) at jaccard 0.99 — those are legit finds)
+    assert {(i, i + 500_000) for i in range(3)} <= found
+
+    deduped = minhash_lsh_dedup(all_docs, jaccard_threshold=0.7)
+    n_natural_losers = len({d2 for d1, d2 in found if d2 < 500_000})
+    assert deduped.count() == small.count() - n_natural_losers
+    assert deduped.where(F.col("doc_id") >= 500_000).count() == 0
+
+
+def test_simhash_identical_docs_share_sketch(spark, docs):
+    from scylla_cdc_rust_spark.operators.dedup_docs import simhash
+
+    d = docs.limit(10)
+    s1 = {r["doc_id"]: r["simhash"] for r in simhash(d).collect()}
+    copy = d.withColumn("doc_id", F.col("doc_id") + 77)
+    s2 = {r["doc_id"] - 77: r["simhash"] for r in simhash(copy).collect()}
+    assert s1 == s2
+
+
+def test_brute_force_vs_lsh_recall(spark, embs):
+    from scylla_cdc_rust_spark.operators.ann import brute_force_topk, lsh_topk
+
+    q = embs.where(F.col("vec_id") < 5)
+    c = embs.where(F.col("vec_id") >= 5)
+    exact = brute_force_topk(q, c, k=5)
+    approx = lsh_topk(q, c, dim=64, k=5, n_planes=3)
+    e = {(r["qid"], r["cid"]) for r in exact.collect()}
+    a = {(r["qid"], r["cid"]) for r in approx.collect()}
+    # single-table LSH over random synthetic vectors has modest recall;
+    # assert it beats chance while pruning most of the corpus
+    assert len(e & a) >= max(2, len(e) // 8)
+    assert approx.count() <= 5 * q.count()
+
+
+def test_embedding_near_dups(spark, embs):
+    from scylla_cdc_rust_spark.operators.ann import embedding_near_dups
+
+    base = embs.limit(20)
+    clones = base.withColumn("vec_id", F.col("vec_id") + 10_000)
+    pairs = embedding_near_dups(base.unionByName(clones), dim=64, threshold=0.999)
+    got = {(r["d1"], r["d2"]) for r in pairs.collect()}
+    assert {(i, i + 10_000) for i in range(20)} <= got
+
+
+def test_text_functions(spark, docs):
+    from scylla_cdc_rust_spark.functions.text import (
+        doc_fingerprint,
+        lang_guess,
+        quality_score,
+        token_count,
+        token_count_bpe_ish,
+    )
+
+    out = docs.limit(50).select(
+        token_count("text").alias("tc"),
+        token_count_bpe_ish("text").alias("tcb"),
+        quality_score("text").alias("q"),
+        lang_guess("text").alias("lg"),
+        doc_fingerprint("text").alias("fp"),
+    ).collect()
+    assert all(r["tc"] > 0 and r["tcb"] >= r["tc"] - 1 for r in out)
+    assert all(0.0 <= r["q"] <= 1.0 for r in out)
+    assert len({r["fp"] for r in out}) == 50  # distinct docs → distinct fps
+
+
+def test_multimodal_plumbing(spark):
+    from scylla_cdc_rust_spark.operators.multimodal import (
+        DecoderRegistry,
+        extract_features,
+        media_stats,
+    )
+
+    rows = [
+        (f"m{i}", bytes([i] * (10 + i)), ("image" if i % 2 == 0 else "audio",
+         "raw", 4, 4, None, 10 + i))
+        for i in range(20)
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "doc_id string, payload binary, meta struct<media_type:string,"
+        "codec:string,width:int,height:int,duration_ms:int,n_bytes:long>",
+    )
+    feats = extract_features(media, dim=16).collect()
+    assert len(feats) == 20 and all(len(r["features"]) == 16 for r in feats)
+    # determinism: same payload → same features
+    f2 = extract_features(media, dim=16).collect()
+    assert {r["doc_id"]: r["features"] for r in feats} == {
+        r["doc_id"]: r["features"] for r in f2
+    }
+    stats = {r["media_type"]: r["n"] for r in media_stats(media).collect()}
+    assert stats == {"image": 10, "audio": 10}
+    # unregistered codec raises loudly
+    with pytest.raises(Exception, match="NotImplementedError|no decoder"):
+        extract_features(media, registry=DecoderRegistry()).collect()
+
+
+def test_generation_fetcher(tmp_path):
+    from scylla_cdc_rust_spark.sources.generations import (
+        Generation,
+        GenerationFetcher,
+        write_generation_metadata,
+    )
+
+    gens = [Generation(0, 1000), Generation(1, 2000), Generation(2, 3000)]
+    streams = [(0, b"\x01", 0), (0, b"\x02", 0), (0, b"\x03", 1), (1, b"\x04", 0)]
+    write_generation_metadata(str(tmp_path), gens, streams)
+    f = GenerationFetcher(str(tmp_path))
+    assert f.fetch_all_generations() == gens
+    # boundary cases (stream_generations.rs:768-860)
+    assert f.fetch_generation_by_timestamp(1999) == gens[0]
+    assert f.fetch_generation_by_timestamp(2000) == gens[1]
+    assert f.fetch_next_generation(2000) == gens[2]
+    assert f.fetch_next_generation(3000) is None
+    assert f.fetch_stream_ids(gens[0]) == [[b"\x01", b"\x02"], [b"\x03"]]
+    assert f.wait_for_next_generation(1500, timeout_s=0.5) == gens[1]
+    assert f.wait_for_next_generation(99999, timeout_s=0.3) is None
+
+
+def test_timeuuid_decode(spark):
+    from scylla_cdc_rust_spark.functions.timeuuid import (
+        timeuuid_to_us,
+        with_decoded_timeuuid,
+    )
+
+    us = [1_700_000_000_000_000 + i * 137 for i in range(100)]
+    uuids = [uuid.UUID(fields=(
+        ((t * 10 + 122192928000000000) & 0xFFFFFFFF),
+        ((t * 10 + 122192928000000000) >> 32) & 0xFFFF,
+        0x1000 | (((t * 10 + 122192928000000000) >> 48) & 0x0FFF),
+        0x80, 0x00, 0x123456789ABC)).bytes for t in us]
+    df = spark.createDataFrame([(u,) for u in uuids], "`cdc$time` binary")
+    got = df.select(timeuuid_to_us(F.col("`cdc$time`")).alias("us")).collect()
+    assert [r["us"] for r in got] == us
+    dec = with_decoded_timeuuid(df).collect()
+    assert all(r["cdc_time_ms"] == u // 1000 for r, u in zip(dec, us))
+    # ordering preserved by (ms, seq)
+    keys = [(r["cdc_time_ms"], r["cdc_time_seq"]) for r in dec]
+    assert keys == sorted(keys)

@@ -21,9 +21,13 @@ def spark_df_from_arrow(spark, tbl: pa.Table):
     )
 
 
-def run_fold(spark, tbl: pa.Table, modes=None):
+def run_fold(spark, tbl: pa.Table, modes=None, set_impl="elements"):
+    from scylla_cdc_rust_spark.operators.fold import finalize, fold_delta
+
     df = spark_df_from_arrow(spark, tbl)
-    return fold(decode(df), collection_modes=modes or {"tokens": "set"})
+    modes = modes or {"tokens": "set"}
+    delta = fold_delta(decode(df), collection_modes=modes, set_impl=set_impl)
+    return finalize(delta, collection_modes=modes)
 
 
 def normalize_engine(rows, payload=("tokens", "n_tok", "source")):
@@ -51,9 +55,9 @@ def assert_state_equal(engine: dict, oracle: dict):
             assert ev == ov, f"doc {k} col {c}: engine={ev!r} oracle={ov!r}"
 
 
-def check_fold_matches_oracle(spark, tbl: pa.Table, modes=None):
+def check_fold_matches_oracle(spark, tbl: pa.Table, modes=None, set_impl="elements"):
     modes = modes or {"tokens": "set"}
     oracle = oracle_replay(tbl, collection_modes=modes)
-    engine = normalize_engine(run_fold(spark, tbl, modes).collect())
+    engine = normalize_engine(run_fold(spark, tbl, modes, set_impl=set_impl).collect())
     assert_state_equal(engine, oracle)
     return engine
