@@ -185,11 +185,20 @@ class ReplayConsumer(Consumer):
                     delems = None
                 if self.modes.get(c) == "set":
                     if deleted:
-                        row["cells"][c] = (
-                            sorted(set(val.tolist() if hasattr(val, "tolist") else val))
+                        # Overwrite resets to this change's elements; a
+                        # deleted_elements entry in the SAME change still
+                        # wins the same-timestamp tie (removal > add),
+                        # matching the declarative fold and oracle.
+                        base = (
+                            set(val.tolist() if hasattr(val, "tolist") else val)
                             if val is not None and len(val)
-                            else None
+                            else set()
                         )
+                        if delems is not None:
+                            base -= set(
+                                delems.tolist() if hasattr(delems, "tolist") else delems
+                            )
+                        row["cells"][c] = sorted(base) if base else None
                     else:
                         cur = set(row["cells"].get(c) or [])
                         if val is not None and len(val):

@@ -233,7 +233,12 @@ def q_cdc_fold_set(spark, sf_dir):
         )
         .groupBy("doc_id")
         .agg(
-            F.array_sort(F.collect_list("elem")).alias("tokens"),
+            # Canonicalizer-safe: the driver's oracle compare sorts rows via
+            # pandas, which cannot hash raw arrays — emit the (sorted) set as
+            # a CSV string instead of array<int>.
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list("elem")).cast("array<string>")
+            ).alias("tokens"),
             F.count("*").cast("long").alias("n_alive"),
         )
     )
@@ -263,7 +268,7 @@ per_elem AS (
   FROM ev GROUP BY doc_id, elem
 )
 SELECT p.doc_id,
-       list_sort(list(p.elem))      AS tokens,
+       array_to_string(list_sort(list(p.elem)), ',') AS tokens,
        CAST(count(*) AS BIGINT)     AS n_alive
 FROM per_elem p JOIN per_doc d ON p.doc_id = d.doc_id
 WHERE p.last_act = 1 AND p.last_ord_e > d.tomb AND p.last_ord_e >= d.ctomb
@@ -959,6 +964,17 @@ FROM embeddings GROUP BY label
 # ===========================================================================
 
 
+def _tokens_csv():
+    """Canonicalizer-safe token projection: the driver's oracle compare
+    sorts result rows via pandas, which cannot hash raw array cells —
+    emit ``tokens`` as a CSV string (NULL stays NULL, order preserved;
+    set-mode arrays are already sorted by the fold)."""
+    c = F.col("tokens")
+    return F.when(
+        c.isNotNull(), F.concat_ws(",", c.cast("array<string>"))
+    ).alias("tokens")
+
+
 def q_engine_cdc_replay(spark, sf_dir):
     """The real engine (functions.decode + operators.fold) replaying a
     CDC-shaped change log derived from `events`, oracle-checked against
@@ -984,7 +1000,7 @@ def q_engine_cdc_replay(spark, sf_dir):
     out = fold(decode(log), collection_modes={"tokens": "set"})
     return out.select(
         "doc_id",
-        "tokens",
+        _tokens_csv(),
         "n_tok",
         "source",
         F.col("ttl").cast("long").alias("ttl"),
@@ -1024,7 +1040,8 @@ alive AS (
   GROUP BY p.doc_id
 )
 SELECT d.doc_id,
-       a.tokens              AS tokens,
+       CASE WHEN a.tokens IS NOT NULL
+            THEN array_to_string(a.tokens, ',') END AS tokens,
        d.n_tok               AS n_tok,
        d.source              AS source,
        CAST(NULL AS BIGINT)  AS ttl,
@@ -1065,7 +1082,7 @@ def q_engine_consumer_replay(spark, sf_dir):
     log = _cdc_shaped_log(spark, sf_dir)
     out = replay_consumer_fold(decode(log), collection_modes={"tokens": "set"})
     return out.select(
-        "doc_id", "tokens", "n_tok", "source",
+        "doc_id", _tokens_csv(), "n_tok", "source",
         F.col("ttl").cast("long").alias("ttl"), "last_ord",
     )
 
@@ -1086,7 +1103,7 @@ def q_engine_salted_replay(spark, sf_dir):
         collection_modes={"tokens": "list"},
     )
     return out.select(
-        "doc_id", "tokens", "n_tok", "source",
+        "doc_id", _tokens_csv(), "n_tok", "source",
         F.col("ttl").cast("long").alias("ttl"), "last_ord",
     )
 
@@ -1098,7 +1115,10 @@ SQL_ENGINE_LIST_REPLAY = (
     _log_cte()
     + """
 SELECT doc_id,
-       arg_max(tokens, CASE WHEN base_op IN (1,2) THEN ord END) AS tokens,
+       CASE WHEN arg_max(tokens, CASE WHEN base_op IN (1,2) THEN ord END) IS NOT NULL
+            THEN array_to_string(
+                   arg_max(tokens, CASE WHEN base_op IN (1,2) THEN ord END), ',')
+       END AS tokens,
        arg_max(n_tok,  CASE WHEN base_op IN (1,2) THEN ord END) AS n_tok,
        arg_max(source, CASE WHEN base_op IN (1,2) THEN ord END) AS source,
        CAST(NULL AS BIGINT) AS ttl,

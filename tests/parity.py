@@ -39,11 +39,28 @@ def _norm_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+def _driver_canon_safe(cols, rows) -> str | None:
+    """Replicate the driver harness's canonicalizer, which sorts the result
+    via ``pandas.DataFrame.sort_values`` over every column — raw array/map
+    cells are unhashable there and error the whole gate (round-1 failure
+    mode). Return an error string if the result would break it."""
+    import pandas as pd
+
+    try:
+        pd.DataFrame(rows, columns=cols).sort_values(by=sorted(cols))
+    except TypeError as e:
+        return f"driver-canon unsafe output (unhashable cell?): {e}"
+    return None
+
+
 def compare_query(spark, sf_dir: str, spark_fn, sql: str) -> str | None:
     """Return None if results match, else a diff description."""
     sdf = spark_fn(spark, sf_dir)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
+    canon_err = _driver_canon_safe(s_cols, s_rows)
+    if canon_err:
+        return canon_err
     con = duck_con(sf_dir)
     res = con.sql(sql)
     d_cols = res.columns
