@@ -99,7 +99,13 @@ def oracle_replay(
             mode = collection_modes.get(c, "atomic")
             if mode == "set":
                 if deleted:
-                    row.cells[c] = sorted(set(val)) if val else None
+                    # overwrite resets to this change's elements; a
+                    # same-change deleted_elements entry still wins the
+                    # equal-timestamp tie (removal beats addition)
+                    cur = set(val) if val else set()
+                    if del_elems:
+                        cur -= set(del_elems)
+                    row.cells[c] = sorted(cur) if cur else None
                 else:
                     cur = set(row.cells.get(c) or [])
                     if val:
@@ -108,6 +114,45 @@ def oracle_replay(
                         cur -= set(del_elems)
                     if val or del_elems:
                         row.cells[c] = sorted(cur) if cur else None
+            elif mode in ("map", "list_delta"):
+                # per-(map)key value LWW (update_map_or_set,
+                # replicator_consumer.rs:415-469; update_list :472-528);
+                # arrow map columns arrive as list-of-(k, v) pairs
+                val_d = dict(val) if val else None
+                if deleted:
+                    cur = dict(val_d) if val_d else {}
+                    for k2 in del_elems or []:
+                        cur.pop(k2, None)
+                    row.cells[c] = cur or None
+                elif val_d or del_elems:
+                    cur = dict(row.cells.get(c) or {})
+                    if val_d:
+                        cur.update(val_d)
+                    for k2 in del_elems or []:
+                        cur.pop(k2, None)
+                    row.cells[c] = cur or None
+            elif mode == "udt":
+                # per-field LWW (update_udt, replicator_consumer.rs:568-585):
+                # overwrite replaces the whole struct; otherwise a present
+                # value updates non-null fields and nulls the smallint
+                # deleted-field indices (:540-544); a present field value
+                # wins over its delete index within one change (:546)
+                if deleted:
+                    cur = dict(val) if val is not None else None
+                elif val is not None:
+                    fieldnames = list(val)
+                    cur = dict(row.cells.get(c) or {fn: None for fn in fieldnames})
+                    delset = set(del_elems or [])
+                    for i, fn in enumerate(fieldnames):
+                        if val[fn] is not None:
+                            cur[fn] = val[fn]
+                        elif i in delset:
+                            cur[fn] = None
+                else:
+                    continue
+                if cur is not None and not any(v is not None for v in cur.values()):
+                    cur = None
+                row.cells[c] = cur
             else:  # atomic / list: whole-cell overwrite
                 if val is not None:
                     row.cells[c] = val

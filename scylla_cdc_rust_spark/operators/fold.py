@@ -85,10 +85,35 @@ def _dcol(df: DataFrame, name: str) -> Column:
 def split_modes(
     payload: list[str], collection_modes: dict[str, str] | None
 ) -> tuple[list[str], list[str]]:
-    collection_modes = collection_modes or {}
-    set_cols = [c for c in payload if collection_modes.get(c) == "set"]
-    cell_cols = [c for c in payload if collection_modes.get(c, "atomic") != "set"]
-    return cell_cols, set_cols
+    """Back-compat 2-way split: (cell_cols, set_cols). Cell = atomic|list."""
+    cell, sets, maps, udts = split_modes_full(payload, collection_modes)
+    return cell, sets
+
+
+def split_modes_full(
+    payload: list[str], collection_modes: dict[str, str] | None
+) -> tuple[list[str], list[str], list[str], list[str]]:
+    """4-way split: (cell, set, map-like, udt) columns.
+
+    - cell: 'atomic' (scalars/frozen) and 'list' (whole-array fast path)
+    - set:  'set' — element membership deltas
+    - map-like: 'map' (non-frozen map<k,v>) and 'list_delta' (non-frozen
+      list as its CDC timeuuid-keyed map encoding,
+      replicator_consumer.rs:472-528) — identical per-key value LWW;
+      list_delta is presented as values ordered by key (see ``present``)
+    - udt: non-frozen UDT — per-field LWW with smallint deleted-field
+      indices (replicator_consumer.rs:531-585)
+    """
+    m = collection_modes or {}
+    cell = [c for c in payload if m.get(c, "atomic") in ("atomic", "list")]
+    sets = [c for c in payload if m.get(c) == "set"]
+    maps = [c for c in payload if m.get(c) in ("map", "list_delta")]
+    udts = [c for c in payload if m.get(c) == "udt"]
+    bad = {k: v for k, v in m.items()
+           if v not in ("atomic", "list", "set", "map", "list_delta", "udt")}
+    if bad:
+        raise ValueError(f"unknown collection modes: {bad}")
+    return cell, sets, maps, udts
 
 
 def fold_delta(
@@ -122,7 +147,9 @@ def fold_delta(
     collection_modes = collection_modes or {"tokens": "set"}
     schema = schema or CDCSchema.from_df_schema(df.schema)
     payload = [c for c in schema.payload if c not in keys]
-    cell_cols, set_cols = split_modes(payload, collection_modes)
+    cell_cols, set_cols, map_cols, udt_cols = split_modes_full(
+        payload, collection_modes
+    )
 
     is_w = F.col(OP_NORM).isin(_W)
     is_d = F.col(OP_NORM).isin(_D)
@@ -150,17 +177,64 @@ def fold_delta(
             ].alias(f"{c}__v")
         )
         aggs.append(F.max(F.when(mentioned, ordc)).alias(f"{c}__ord"))
-    for c in set_cols:
+    for c in set_cols + map_cols:
         dflag = _dcol(df, DELETED_PREFIX + c)
         aggs.append(
             F.coalesce(F.max(F.when(is_w & dflag, ordc)), F.lit(NEG_INF)).alias(
                 f"{c}__ctomb"
             )
         )
+    for c in udt_cols:
+        # A9: per-field LWW (update_udt, replicator_consumer.rs:568-585):
+        # overwrite (cdc$deleted_<col>) mentions every field with this
+        # change's value; otherwise a present value struct mentions each
+        # field that is non-null or whose index is in
+        # cdc$deleted_elements_<col> (smallint indices,
+        # replicator_consumer.rs:540-544); a present field value wins over
+        # its delete index within one change (:546 runs the update with the
+        # value, None only when absent).
+        dflag = _dcol(df, DELETED_PREFIX + c)
+        struct_t = schema.payload[c].spark_type
+        fnames = [f.name for f in struct_t.fields]
+        delems_name = DELETED_ELEMS_PREFIX + c
+        delems = (
+            F.coalesce(F.col(delems_name), F.array().cast("array<smallint>"))
+            if delems_name in df.columns
+            else F.array().cast("array<smallint>")
+        )
+        val = F.col(c)
+        aggs.append(
+            F.coalesce(F.max(F.when(is_w & dflag, ordc)), F.lit(NEG_INF)).alias(
+                f"{c}__ctomb"
+            )
+        )
+        for i, fn in enumerate(fnames):
+            mention = is_w & (
+                dflag
+                | (
+                    val.isNotNull()
+                    & (
+                        val[fn].isNotNull()
+                        | F.array_contains(delems, F.lit(i).cast("smallint"))
+                    )
+                )
+            )
+            aggs.append(
+                F.max_by(
+                    F.when(mention, F.struct(val[fn].alias("v"))),
+                    F.when(mention, ordc),
+                )["v"].alias(f"{c}__f{i}__v")
+            )
+            aggs.append(F.max(F.when(mention, ordc)).alias(f"{c}__f{i}__o"))
 
     delta = df.groupBy(*keys).agg(*aggs)
 
     if set_cols and set_impl == "arrays":
+        if map_cols or udt_cols:
+            raise NotImplementedError(
+                "set_impl='arrays' does not combine with map/list_delta/udt "
+                "columns yet; use the default 'elements' strategy"
+            )
         return _set_arrays_path(
             df, delta, keys, cell_cols, set_cols, schema, is_w, is_d, ordc
         )
@@ -220,6 +294,73 @@ def fold_delta(
         )
         delta = delta.join(evs, on=keys, how="left")
 
+    # ---- per-(map)key value LWW for 'map'/'list_delta' columns ----
+    # update_map_or_set element path / update_list
+    # (replicator_consumer.rs:415-469,472-528): adds are the value map's
+    # entries, removes are cdc$deleted_elements keys; removal beats
+    # addition at equal ord (pre-resolved within one change by dropping
+    # adds whose key this change also deletes).
+    for c in map_cols:
+        map_t = schema.payload[c].spark_type
+        kt = map_t.keyType.simpleString()
+        vt = map_t.valueType.simpleString()
+        delems_name = DELETED_ELEMS_PREFIX + c
+        delems = (
+            F.col(delems_name)
+            if delems_name in df.columns
+            else F.lit(None).cast(f"array<{kt}>")
+        )
+        dele = F.coalesce(delems, F.array().cast(f"array<{kt}>"))
+        entries = F.coalesce(
+            F.map_entries(F.col(c)),
+            F.array().cast(f"array<struct<key:{kt},value:{vt}>>"),
+        )
+        adds = F.filter(entries, lambda e: ~F.array_contains(dele, e["key"]))
+        ev_structs = F.concat(
+            F.transform(
+                adds,
+                lambda e: F.struct(
+                    e["key"].alias("k"), e["value"].alias("v"), F.lit(1).alias("a")
+                ),
+            ),
+            F.transform(
+                dele,
+                lambda k2: F.struct(
+                    k2.alias("k"),
+                    F.lit(None).cast(vt).alias("v"),
+                    F.lit(0).alias("a"),
+                ),
+            ),
+        )
+        events = (
+            df.where(is_w & (F.col(c).isNotNull() | delems.isNotNull()))
+            .select(*keys, ordc.alias("__ord"), F.explode(ev_structs).alias("ev"))
+            .select(
+                *keys,
+                F.col("ev.k").alias("k"),
+                F.col("ev.v").alias("v"),
+                (F.col("__ord") * 2 + (1 - F.col("ev.a"))).alias("pk"),
+            )
+        )
+        events = events.repartition(*[F.col(k) for k in keys])
+        per_elem = events.groupBy(*keys, "k").agg(
+            F.max_by(F.struct(F.col("v")), F.col("pk"))["v"].alias("v"),
+            F.max("pk").alias("pk"),
+        )
+        per_elem = per_elem.select(
+            *keys,
+            "k",
+            "v",
+            (1 - F.col("pk") % 2).cast("int").alias("last_act"),
+            F.shiftright(F.col("pk"), 1).alias("last_ord_e"),
+        )
+        mevs = per_elem.groupBy(*keys).agg(
+            F.collect_list(F.struct("last_ord_e", "k", "v", "last_act")).alias(
+                f"__mevs_{c}"
+            )
+        )
+        delta = delta.join(mevs, on=keys, how="left")
+
     # ---- summarize set columns into alive / removed / reset ----
     out_cols = [*[F.col(k) for k in keys], F.col("row_tomb"), F.col("marker"), F.col("last_ord"), F.col("ttl_v")]
     for c in cell_cols:
@@ -252,6 +393,48 @@ def fold_delta(
         )
         out_cols.append(
             ((thr_row > NEG_INF) | (thr_coll > NEG_INF)).alias(f"{c}__reset")
+        )
+    for c in map_cols:
+        thr_row, thr_coll = F.col("row_tomb"), F.col(f"{c}__ctomb")
+        survives = lambda s: (s["last_ord_e"] > thr_row) & (s["last_ord_e"] >= thr_coll)  # noqa: E731
+        evs = F.coalesce(F.col(f"__mevs_{c}"), F.array())
+        out_cols.append(
+            F.array_sort(
+                F.transform(
+                    F.filter(evs, lambda s: (s["last_act"] == 1) & survives(s)),
+                    lambda s: F.struct(s["k"].alias("k"), s["v"].alias("v")),
+                )
+            ).alias(f"{c}__alive")
+        )
+        out_cols.append(
+            F.array_sort(
+                F.transform(
+                    F.filter(evs, lambda s: (s["last_act"] == 0) & survives(s)),
+                    lambda s: s["k"],
+                )
+            ).alias(f"{c}__removed")
+        )
+        out_cols.append(
+            ((thr_row > NEG_INF) | (thr_coll > NEG_INF)).alias(f"{c}__reset")
+        )
+    for c in udt_cols:
+        # pack per-field (v, o) argmax results into one struct column;
+        # a field mention at/before the batch row tombstone is dead
+        fnames = [f.name for f in schema.payload[c].spark_type.fields]
+        fields = []
+        for i, fn in enumerate(fnames):
+            alive_mention = F.col(f"{c}__f{i}__o") > F.col("row_tomb")
+            fields.append(
+                F.struct(
+                    F.when(alive_mention, F.col(f"{c}__f{i}__v")).alias("v"),
+                    F.when(alive_mention, F.col(f"{c}__f{i}__o")).alias("o"),
+                ).alias(fn)
+            )
+        out_cols.append(F.struct(*fields).alias(f"{c}__fv"))
+        out_cols.append(
+            (
+                (F.col("row_tomb") > NEG_INF) | (F.col(f"{c}__ctomb") > NEG_INF)
+            ).alias(f"{c}__reset")
         )
     return delta.select(*out_cols)
 
@@ -332,11 +515,18 @@ def _set_arrays_path(df, delta, keys, cell_cols, set_cols, schema, is_w, is_d, o
     return delta.select(*out_cols)
 
 
-def _exists_and_values(delta_side, cell_cols, set_cols, target_side=None):
+def _exists_and_values(
+    delta_side,
+    cell_cols,
+    set_cols,
+    target_side=None,
+    map_cols=(),
+    udt_fields=None,
+):
     """Shared cell-wise composition used by finalize and apply_delta.
 
     ``target_side`` maps column name → Column for the existing state
-    (None ⇒ empty target).
+    (None ⇒ empty target).  ``udt_fields``: col → ordered field names.
     """
     d = delta_side
     had_tomb = F.coalesce(d("row_tomb") > NEG_INF, F.lit(False))
@@ -367,6 +557,58 @@ def _exists_and_values(delta_side, cell_cols, set_cols, target_side=None):
         v = F.when(F.size(merged) > 0, merged)
         values[c] = v
         live.append(v.isNotNull())
+    for c in map_cols:
+        # target column is map<k,v> (list_delta presents as values sorted
+        # by key at read time — see ``present``)
+        alive = F.coalesce(d(f"{c}__alive"), F.array())
+        if target_side is None:
+            merged = alive
+        else:
+            reset = F.coalesce(d(f"{c}__reset"), F.lit(False)) | had_tomb
+            base = F.when(reset, F.array()).otherwise(
+                F.coalesce(F.map_entries(target_side(c)), F.array())
+            )
+            new_keys = F.transform(alive, lambda e: e["k"])
+            removed = F.coalesce(d(f"{c}__removed"), F.array())
+            kept = F.filter(
+                base,
+                lambda e: ~F.array_contains(new_keys, e["key"])
+                & ~F.array_contains(removed, e["key"]),
+            )
+            merged = F.array_sort(
+                F.concat(
+                    F.transform(
+                        kept,
+                        lambda e: F.struct(
+                            e["key"].alias("k"), e["value"].alias("v")
+                        ),
+                    ),
+                    alive,
+                )
+            )
+        v = F.when(F.size(merged) > 0, F.map_from_entries(merged))
+        values[c] = v
+        live.append(v.isNotNull())
+    for c, fnames in (udt_fields or {}).items():
+        fv = d(f"{c}__fv")
+        reset = F.coalesce(d(f"{c}__reset"), F.lit(False)) | had_tomb
+        field_vals = []
+        for fn in fnames:
+            if target_side is None:
+                nv = fv[fn]["v"]
+            else:
+                nv = (
+                    F.when(fv[fn]["o"].isNotNull(), fv[fn]["v"])
+                    .when(reset, F.lit(None))
+                    .otherwise(target_side(c)[fn])
+                )
+            field_vals.append(nv.alias(fn))
+        any_live = F.lit(False)
+        for nv in field_vals:
+            any_live = any_live | nv.isNotNull()
+        v = F.when(any_live, F.struct(*field_vals))
+        values[c] = v
+        live.append(v.isNotNull())
 
     marker = F.coalesce(d("marker") > d("row_tomb"), F.lit(False))
     if target_side is not None:
@@ -377,6 +619,14 @@ def _exists_and_values(delta_side, cell_cols, set_cols, target_side=None):
     return values, exists, marker, had_tomb
 
 
+def _udt_fields_from_delta(delta: DataFrame, udt_cols: list[str]) -> dict:
+    """col → ordered field names, read off the delta's own __fv schema."""
+    out = {}
+    for c in udt_cols:
+        out[c] = [f.name for f in delta.schema[f"{c}__fv"].dataType.fields]
+    return out
+
+
 def finalize(
     delta: DataFrame,
     key: str = "doc_id",
@@ -385,9 +635,14 @@ def finalize(
 ) -> DataFrame:
     """Delta applied to an empty table → final visible state."""
     payload = payload or _payload_from_delta(delta, key)
-    cell_cols, set_cols = split_modes(payload, collection_modes or {"tokens": "set"})
+    cell_cols, set_cols, map_cols, udt_cols = split_modes_full(
+        payload, collection_modes or {"tokens": "set"}
+    )
     d = lambda n: F.col(n)  # noqa: E731
-    values, exists, _, _ = _exists_and_values(d, cell_cols, set_cols, None)
+    values, exists, _, _ = _exists_and_values(
+        d, cell_cols, set_cols, None, map_cols,
+        _udt_fields_from_delta(delta, udt_cols),
+    )
     proj = [F.col(key)]
     proj += [values[c].alias(c) for c in payload]
     proj += [
@@ -400,7 +655,7 @@ def finalize(
 def _payload_from_delta(delta: DataFrame, key: str) -> list[str]:
     cols = []
     for c in delta.columns:
-        if c.endswith("__v") or c.endswith("__alive"):
+        if c.endswith("__v") or c.endswith("__alive") or c.endswith("__fv"):
             cols.append(c.rsplit("__", 1)[0])
     return cols
 
@@ -441,7 +696,10 @@ def apply_delta(
     tombstoned.
     """
     payload = payload or _payload_from_delta(delta, key)
-    cell_cols, set_cols = split_modes(payload, collection_modes or {"tokens": "set"})
+    cell_cols, set_cols, map_cols, udt_cols = split_modes_full(
+        payload, collection_modes or {"tokens": "set"}
+    )
+    udt_fields = _udt_fields_from_delta(delta, udt_cols)
 
     t = target.alias("t")
     dd = delta.alias("d")
@@ -469,7 +727,7 @@ def apply_delta(
         return F.when(~F.coalesce(F.col("t.is_deleted"), F.lit(True)), F.col(f"t.{n}"))
 
     values, exists, marker, had_tomb = _exists_and_values(
-        dside, cell_cols, set_cols, tside
+        dside, cell_cols, set_cols, tside, map_cols, udt_fields
     )
     for c in extra_payload or []:
         ev = F.when(~F.coalesce(had_tomb, F.lit(False)), tside(c))
@@ -501,6 +759,30 @@ def apply_delta(
     if not keep_tombstones:
         out = out.where(~F.col("is_deleted"))
     return out
+
+
+def present(df: DataFrame, collection_modes: dict[str, str] | None = None) -> DataFrame:
+    """Project the physical state into the user-visible shape.
+
+    'list_delta' columns are stored as their CDC encoding — a map keyed
+    by timeuuid surrogate (replicator_consumer.rs:472-528: Scylla itself
+    keys list elements internally by timeuuid) — so deltas stay
+    composable across batches; the user-visible list is the values
+    ordered by key.  All other modes are already user-shaped.
+    """
+    for c, m in (collection_modes or {}).items():
+        if m == "list_delta" and c in df.columns:
+            df = df.withColumn(
+                c,
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.transform(
+                        F.array_sort(F.map_entries(F.col(c))),
+                        lambda e: e["value"],
+                    ),
+                ),
+            )
+    return df
 
 
 def with_bookkeeping(final_state: DataFrame) -> DataFrame:

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from scylla_cdc_rust_spark.model import ORD, CDCSchema
-from scylla_cdc_rust_spark.operators.fold import NEG_INF, fold_delta, split_modes
+from scylla_cdc_rust_spark.operators.fold import NEG_INF, fold_delta, split_modes_full
 
 
 def hot_keys(decoded: DataFrame, key: str = "doc_id", threshold: int = 100_000) -> list:
@@ -60,11 +60,17 @@ def fold_delta_salted(
     collection_modes = collection_modes or {}
     schema = schema or CDCSchema.from_df_schema(df.schema)
     payload = [c for c in schema.payload if c != key]
-    cell_cols, set_cols = split_modes(payload, collection_modes)
-    if set_cols:
+    cell_cols, set_cols, map_cols, udt_cols = split_modes_full(payload, collection_modes)
+    if set_cols or map_cols:
         raise NotImplementedError(
-            "salted fold applies to atomic/'list' columns; 'set'-mode element "
-            "deltas are already (key, element)-grained and need no salt"
+            "salted fold applies to atomic/'list'/udt columns; set/map/"
+            "list_delta element deltas are already (key, element)-grained "
+            "and need no salt"
+        )
+    if udt_cols:
+        raise NotImplementedError(
+            "salted fold does not support 'udt' columns yet; per-field "
+            "argmax is already map-side combinable without salting"
         )
 
     salted = df.withColumn("__salt", F.pmod(F.col(ORD), F.lit(salt_factor)))

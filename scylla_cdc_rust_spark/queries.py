@@ -277,6 +277,252 @@ GROUP BY p.doc_id
 )
 
 
+def q_cdc_fold_udt(spark, sf_dir):
+    """A9 (SURVEY §2.4): non-frozen UDT per-field LWW — overwrite via
+    cdc$deleted_<col>, field deletes via smallint indices in
+    cdc$deleted_elements_<col>, value wins over its delete index within
+    one change (update_udt, replicator_consumer.rs:531-585)."""
+    from scylla_cdc_rust_spark import model as M
+    from scylla_cdc_rust_spark.functions.decode import decode
+    from scylla_cdc_rust_spark.operators.fold import fold
+
+    d = _derived_log(spark, sf_dir)
+    is_wr = F.col("base_op").isin(1, 2)
+    ordc = F.col("ord")
+    meta = F.when(
+        is_wr,
+        F.struct(
+            F.when(ordc % 3 != 2, F.col("n_tok")).alias("int_val"),
+            F.when(ordc % 5 < 3, (ordc % 2 == 0)).alias("bool_val"),
+        ),
+    )
+    dflag = is_wr & ((F.col("base_op") == 2) | (ordc % 11 == 0))
+    delems = F.when(
+        is_wr,
+        F.filter(
+            F.array(
+                F.when(ordc % 13 == 0, F.lit(0).cast("smallint")),
+                F.when(ordc % 17 == 0, F.lit(1).cast("smallint")),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    log = d.select(
+        F.col("raw_op").cast("tinyint").alias(M.OPERATION),
+        (ordc + F.lit(M.ORD_BASE_MS)).alias(M.TIME_MS),
+        F.lit(0).cast("long").alias(M.TIME_SEQ),
+        F.lit(0).cast("int").alias(M.BATCH_SEQ),
+        F.lit(None).cast("long").alias(M.TTL),
+        F.col("doc_id"),
+        meta.alias("meta"),
+        dflag.alias(M.DELETED_PREFIX + "meta"),
+        delems.alias(M.DELETED_ELEMS_PREFIX + "meta"),
+    )
+    out = fold(decode(log), collection_modes={"meta": "udt"})
+    return out.select(
+        "doc_id",
+        F.col("meta")["int_val"].alias("int_val"),
+        F.col("meta")["bool_val"].alias("bool_val"),
+        "last_ord",
+    )
+
+
+SQL_CDC_FOLD_UDT = (
+    _log_cte()
+    + """
+, w AS (
+  SELECT doc_id, ord,
+         (base_op = 2 OR ord % 11 = 0)              AS dflag,
+         CASE WHEN ord % 3 <> 2 THEN n_tok END      AS f0,
+         CASE WHEN ord % 5 < 3 THEN (ord % 2 = 0) END AS f1,
+         (ord % 13 = 0)                             AS del0,
+         (ord % 17 = 0)                             AS del1
+  FROM log WHERE base_op IN (1,2)
+),
+t AS (
+  SELECT doc_id,
+         coalesce(max(CASE WHEN base_op IN (3,4) THEN ord END), -1) AS tomb,
+         coalesce(max(CASE WHEN base_op = 2 THEN ord END), -1)      AS marker,
+         max(CASE WHEN base_op IN (1,2) THEN ord END)               AS last_w
+  FROM log GROUP BY doc_id
+),
+agg AS (
+  SELECT doc_id,
+         (arg_max({'v': f0}, CASE WHEN dflag OR f0 IS NOT NULL OR del0 THEN ord END)).v AS f0v,
+         max(CASE WHEN dflag OR f0 IS NOT NULL OR del0 THEN ord END)                    AS f0o,
+         (arg_max({'v': f1}, CASE WHEN dflag OR f1 IS NOT NULL OR del1 THEN ord END)).v AS f1v,
+         max(CASE WHEN dflag OR f1 IS NOT NULL OR del1 THEN ord END)                    AS f1o
+  FROM w GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CASE WHEN a.f0o > t.tomb THEN a.f0v END AS int_val,
+       CASE WHEN a.f1o > t.tomb THEN a.f1v END AS bool_val,
+       t.last_w * 4194304                      AS last_ord
+FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
+WHERE t.marker > t.tomb
+   OR (a.f0o > t.tomb AND a.f0v IS NOT NULL)
+   OR (a.f1o > t.tomb AND a.f1v IS NOT NULL)
+"""
+)
+
+
+def _derived_map_log(spark, sf_dir):
+    """CDC-shaped log with a non-frozen map<string,int> column 'attrs'
+    derived deterministically from `events`."""
+    from scylla_cdc_rust_spark import model as M
+
+    d = _derived_log(spark, sf_dir)
+    is_wr = F.col("base_op").isin(1, 2)
+    ordc = F.col("ord")
+    k1 = F.concat(F.lit("k"), (ordc % 5).cast("string"))
+    k2 = F.concat(F.lit("k"), ((ordc + 2) % 5).cast("string"))
+    attrs = F.when(is_wr, F.create_map(k1, F.col("n_tok"), k2, F.col("n_tok") + 7))
+    dflag = is_wr & ((F.col("base_op") == 2) | (ordc % 9 == 0))
+    delk = F.when(
+        is_wr & (F.col("base_op") == 1) & (ordc % 4 == 0),
+        F.array(F.concat(F.lit("k"), (ordc % 3).cast("string"))),
+    )
+    return d.select(
+        F.col("raw_op").cast("tinyint").alias(M.OPERATION),
+        (ordc + F.lit(M.ORD_BASE_MS)).alias(M.TIME_MS),
+        F.lit(0).cast("long").alias(M.TIME_SEQ),
+        F.lit(0).cast("int").alias(M.BATCH_SEQ),
+        F.lit(None).cast("long").alias(M.TTL),
+        F.col("doc_id"),
+        attrs.alias("attrs"),
+        dflag.alias(M.DELETED_PREFIX + "attrs"),
+        delk.alias(M.DELETED_ELEMS_PREFIX + "attrs"),
+    )
+
+
+# per-(map)key LWW CTEs shared by the map and list_delta oracles:
+# adds are the value map's entries (same-change removed keys dropped —
+# removal wins the tie), removes are cdc$deleted_elements keys
+_MAP_EV_CTE = """
+, w AS (
+  SELECT doc_id, ord, base_op,
+         'k' || (ord % 5)       AS k1, n_tok     AS v1,
+         'k' || ((ord + 2) % 5) AS k2, n_tok + 7 AS v2,
+         (base_op = 2 OR ord % 9 = 0)            AS dflag,
+         CASE WHEN base_op = 1 AND ord % 4 = 0
+              THEN 'k' || (ord % 3) END          AS delk
+  FROM log WHERE base_op IN (1,2)
+),
+t AS (
+  SELECT doc_id,
+         coalesce(max(CASE WHEN base_op IN (3,4) THEN ord END), -1) AS tomb,
+         coalesce(max(CASE WHEN base_op = 2 THEN ord END), -1)      AS marker,
+         max(CASE WHEN base_op IN (1,2) THEN ord END)               AS last_w
+  FROM log GROUP BY doc_id
+),
+ctomb AS (
+  SELECT doc_id, coalesce(max(CASE WHEN dflag THEN ord END), -1) AS ctomb
+  FROM w GROUP BY doc_id
+),
+ev AS (
+  SELECT doc_id, ord, k1 AS k, v1 AS v, 1 AS a FROM w WHERE k1 IS DISTINCT FROM delk
+  UNION ALL
+  SELECT doc_id, ord, k2 AS k, v2 AS v, 1 AS a FROM w WHERE k2 IS DISTINCT FROM delk
+  UNION ALL
+  SELECT doc_id, ord, delk AS k, NULL AS v, 0 AS a FROM w WHERE delk IS NOT NULL
+),
+per_key AS (
+  SELECT doc_id, k,
+         (arg_max({'v': v}, ord * 2 + (1 - a))).v AS v,
+         arg_max(a, ord * 2 + (1 - a))            AS last_act,
+         max(ord)                                 AS last_ord_e
+  FROM ev GROUP BY doc_id, k
+),
+alive AS (
+  SELECT p.doc_id, p.k, p.v
+  FROM per_key p JOIN t ON p.doc_id = t.doc_id
+                 JOIN ctomb c ON p.doc_id = c.doc_id
+  WHERE p.last_act = 1 AND p.last_ord_e > t.tomb AND p.last_ord_e >= c.ctomb
+)
+"""
+
+
+def q_cdc_fold_map(spark, sf_dir):
+    """A7 general form (SURVEY §2.4): non-frozen map<k,v> per-key value
+    LWW — adds from value entries, key tombstones from
+    cdc$deleted_elements, overwrite resets (update_map_or_set,
+    replicator_consumer.rs:415-469)."""
+    from scylla_cdc_rust_spark.functions.decode import decode
+    from scylla_cdc_rust_spark.operators.fold import fold
+
+    out = fold(decode(_derived_map_log(spark, sf_dir)),
+               collection_modes={"attrs": "map"})
+    # canonicalizer-safe: sorted "k:v" CSV
+    return out.select(
+        "doc_id",
+        F.when(
+            F.col("attrs").isNotNull(),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.map_entries("attrs")),
+                    lambda e: F.concat(e["key"], F.lit(":"), e["value"].cast("string")),
+                ),
+            ),
+        ).alias("attrs"),
+        "last_ord",
+    )
+
+
+SQL_CDC_FOLD_MAP = (
+    _log_cte()
+    + _MAP_EV_CTE
+    + """
+, folded AS (
+  SELECT doc_id, string_agg(k || ':' || v, ',' ORDER BY k) AS attrs
+  FROM alive GROUP BY doc_id
+)
+SELECT t.doc_id, f.attrs AS attrs, t.last_w * 4194304 AS last_ord
+FROM t LEFT JOIN folded f ON t.doc_id = f.doc_id
+WHERE t.marker > t.tomb OR f.attrs IS NOT NULL
+"""
+)
+
+
+def q_cdc_fold_list_delta(spark, sf_dir):
+    """A8 general form (SURVEY §2.4): non-frozen list as its CDC
+    timeuuid-keyed map encoding — per-key element set/remove, overwrite
+    resets preserving this change's keys, final list = values ordered
+    by key (update_list, replicator_consumer.rs:472-528)."""
+    from scylla_cdc_rust_spark.functions.decode import decode
+    from scylla_cdc_rust_spark.operators.fold import fold, present
+
+    out = fold(decode(_derived_map_log(spark, sf_dir).withColumnRenamed(
+        "attrs", "vals").withColumnRenamed(
+        "cdc$deleted_attrs", "cdc$deleted_vals").withColumnRenamed(
+        "cdc$deleted_elements_attrs", "cdc$deleted_elements_vals")),
+        collection_modes={"vals": "list_delta"})
+    out = present(out, {"vals": "list_delta"})
+    return out.select(
+        "doc_id",
+        F.when(
+            F.col("vals").isNotNull(),
+            F.concat_ws(",", F.col("vals").cast("array<string>")),
+        ).alias("vals"),
+        "last_ord",
+    )
+
+
+SQL_CDC_FOLD_LIST_DELTA = (
+    _log_cte()
+    + _MAP_EV_CTE
+    + """
+, folded AS (
+  SELECT doc_id, string_agg(v, ',' ORDER BY k) AS vals
+  FROM alive GROUP BY doc_id
+)
+SELECT t.doc_id, f.vals AS vals, t.last_w * 4194304 AS last_ord
+FROM t LEFT JOIN folded f ON t.doc_id = f.doc_id
+WHERE t.marker > t.tomb OR f.vals IS NOT NULL
+"""
+)
+
+
 def q_cdc_dedup_replay(spark, sf_dir):
     """F7/R6 (SURVEY §2.2): exactly-once dedup — a doubled (replayed) log
     deduplicated on (doc_id, ord) must collapse to the original
@@ -1142,6 +1388,9 @@ QUERIES = {
     "cdc_decode": q_cdc_decode,
     "cdc_fold_scalar": q_cdc_fold_scalar,
     "cdc_fold_set": q_cdc_fold_set,
+    "cdc_fold_udt": q_cdc_fold_udt,
+    "cdc_fold_map": q_cdc_fold_map,
+    "cdc_fold_list_delta": q_cdc_fold_list_delta,
     "cdc_dedup_replay": q_cdc_dedup_replay,
     "cdc_window_scan": q_cdc_window_scan,
     "cdc_generation_lookup": q_cdc_generation_lookup,
@@ -1171,6 +1420,9 @@ ORACLE_SQL = {
     "cdc_decode": SQL_CDC_DECODE,
     "cdc_fold_scalar": SQL_CDC_FOLD_SCALAR,
     "cdc_fold_set": SQL_CDC_FOLD_SET,
+    "cdc_fold_udt": SQL_CDC_FOLD_UDT,
+    "cdc_fold_map": SQL_CDC_FOLD_MAP,
+    "cdc_fold_list_delta": SQL_CDC_FOLD_LIST_DELTA,
     "cdc_dedup_replay": SQL_CDC_DEDUP_REPLAY,
     "cdc_window_scan": SQL_CDC_WINDOW_SCAN,
     "cdc_generation_lookup": SQL_CDC_GENERATION_LOOKUP,

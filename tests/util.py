@@ -21,6 +21,47 @@ def spark_df_from_arrow(spark, tbl: pa.Table):
     )
 
 
+def spark_df_via_parquet(spark, tbl: pa.Table, tmpdir=None):
+    """Round-trip an arrow table through parquet so Spark gets exact
+    types (maps/structs don't survive the pandas hop)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    d = str(tmpdir) if tmpdir is not None else tempfile.mkdtemp()
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, "log.parquet")
+    pq.write_table(tbl, p)
+    return spark.read.parquet(p)
+
+
+def present_oracle(oracle: dict, modes: dict) -> dict:
+    """Project oracle cells into the user-visible shape (list_delta →
+    values ordered by key), mirroring operators.fold.present."""
+    out = {}
+    for k, rec in oracle.items():
+        rec = dict(rec)
+        for c, m in modes.items():
+            if m == "list_delta" and rec.get(c) is not None:
+                rec[c] = [v for _, v in sorted(rec[c].items())]
+        out[k] = rec
+    return out
+
+
+def check_general_fold(spark, tbl: pa.Table, modes: dict, tmpdir=None):
+    """Engine fold (+present) vs sequential oracle on the general table."""
+    from scylla_cdc_rust_spark.operators.fold import fold, present
+
+    df = spark_df_via_parquet(spark, tbl, tmpdir)
+    out = present(fold(decode(df), collection_modes=modes), modes)
+    payload = tuple(c for c in ("vals", "attrs", "meta") if c in tbl.column_names)
+    engine = normalize_engine(out.collect(), payload=payload)
+    oracle = present_oracle(oracle_replay(tbl, collection_modes=modes), modes)
+    assert_state_equal(engine, oracle)
+    return engine
+
+
 def run_fold(spark, tbl: pa.Table, modes=None, set_impl="elements"):
     from scylla_cdc_rust_spark.operators.fold import finalize, fold_delta
 
