@@ -83,6 +83,7 @@ def run_replay(
         watermark_path=os.path.join(tmp, f"wm_{tag}"),
         window_size_ms=1 << 60,  # one window per epoch: throughput mode
         target_num_buckets=max(32, CPUS),
+        set_impl=os.environ.get("BENCH_SET_IMPL", "auto"),
     )
     stats = replay(spark, cfg, collection_modes={"tokens": mode})
     return stats.seconds, stats.events_per_sec, stats.n_events

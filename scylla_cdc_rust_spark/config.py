@@ -34,6 +34,10 @@ class CDCPipelineConfig:
     collection_modes: dict[str, str] = field(
         default_factory=lambda: {"tokens": "set"}
     )
+    # physical strategy for 'set'-mode columns (operators.fold.fold_delta):
+    # 'elements' | 'arrays' | 'auto' (sample element fan-out, pick arrays
+    # for wide deltas — fewer shuffled bytes — else elements)
+    set_impl: str = "auto"
 
     # streaming
     max_files_per_trigger: int = 64

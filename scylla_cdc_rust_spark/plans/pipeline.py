@@ -62,6 +62,7 @@ def apply_window(
     key: str = "doc_id",
     count_events: bool = True,
     bulk: bool = False,
+    set_impl: str = "auto",
 ) -> int:
     """One micro-batch cycle: decode → filter → fold → merge → checkpoint."""
     decoded = decode(batch)
@@ -69,7 +70,10 @@ def apply_window(
         decoded = wm.filter_new(decoded)
     schema = CDCSchema.from_df_schema(decoded.schema)
     payload = [c for c in schema.payload if c != key]
-    delta = fold_delta(decoded, key=key, collection_modes=collection_modes, schema=schema)
+    delta = fold_delta(
+        decoded, key=key, collection_modes=collection_modes, schema=schema,
+        set_impl=set_impl,
+    )
     table.merge(
         delta,
         payload=payload,
@@ -168,6 +172,7 @@ def replay(
                 # a single window spanning the whole epoch touches ~every
                 # bucket: skip the pruning scan (bulk-load mode)
                 bulk=(begin == lo and end == hi),
+                set_impl=cfg.set_impl,
             )
             stats.n_events += n
             stats.n_batches += 1

@@ -84,6 +84,7 @@ class StreamingReplay:
                 batch_id=self.batch_id,
                 collection_modes=self.modes,
                 key=self.key,
+                set_impl=self.cfg.set_impl,
             )
             self.batch_id += 1
             begin = end
