@@ -19,12 +19,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from scylla_cdc_rust_spark.queries import ORACLE_SQL, QUERIES  # noqa: E402
+from scylla_cdc_rust_spark.queries import (  # noqa: E402
+    ORACLE_SQL,
+    QUERIES,
+    QUERY_TIERS,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return QUERIES["engine_cdc_replay"](spark, "/root/testdata/sf0.001")
+
+
+def query_tiers() -> dict[str, str]:
+    """'production' (the 10^10-event declarative path) vs 'verification'
+    (reference-shaped or brute-force cross-checks kept to prove the
+    production path equivalent — see queries.QUERY_TIERS)."""
+    return dict(QUERY_TIERS)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -89,8 +89,14 @@ def lsh_topk(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_candidates_per_bucket: int | None = None,
 ) -> DataFrame:
-    """Bucketed ANN: join queries to candidates sharing the sign bucket."""
+    """Bucketed ANN: join queries to candidates sharing the sign bucket.
+
+    ``max_candidates_per_bucket``: optional hot-bucket guard — keep a
+    deterministic hash-ordered sample of at most that many candidates
+    per bucket, bounding the join at |Q|·cap when one bucket degenerates
+    (recall tradeoff documented; exact top-k within the sampled set)."""
     q = queries.select(
         F.col(id_col).alias("qid"),
         _as_double(F.col(vec_col)).alias("qv"),
@@ -101,6 +107,13 @@ def lsh_topk(
         _as_double(F.col(vec_col)).alias("cv"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
+    if max_candidates_per_bucket:
+        wcap = W.partitionBy("bucket").orderBy(F.xxhash64("cid"), F.asc("cid"))
+        c = (
+            c.withColumn("__rn", F.row_number().over(wcap))
+            .where(F.col("__rn") <= max_candidates_per_bucket)
+            .drop("__rn")
+        )
     scored = q.join(c, "bucket").select(
         "qid", "cid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos")
     )
@@ -118,17 +131,28 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 6,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
-    """Near-duplicate vector pairs via LSH buckets + cosine threshold."""
+    """Near-duplicate vector pairs via LSH buckets + cosine threshold.
+    Buckets above ``max_bucket_size`` are salted into sub-buckets
+    (dedup_docs.cap_buckets) so a degenerate bucket — e.g. a corpus of
+    near-identical embeddings — cannot go quadratic."""
+    from scylla_cdc_rust_spark.operators.dedup_docs import cap_buckets
+
     b = df.select(
         F.col(id_col).alias("id"),
         _as_double(F.col(vec_col)).alias("v"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
+    join_cols = ["bucket"]
+    if max_bucket_size:
+        b = cap_buckets(b, join_cols, "id", max_bucket_size)
+        join_cols.append("__sub")
     x, y = b.alias("x"), b.alias("y")
-    pairs = x.join(
-        y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id"))
-    ).select(
+    cond = F.col("x.id") < F.col("y.id")
+    for c in join_cols:
+        cond = cond & (F.col(f"x.{c}") == F.col(f"y.{c}"))
+    pairs = x.join(y, cond).select(
         F.col("x.id").alias("d1"),
         F.col("y.id").alias("d2"),
         F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("cos"),

@@ -18,10 +18,40 @@ through the driver gate).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from scylla_cdc_rust_spark.functions.text import M31, word_hash
+
+
+def cap_buckets(
+    buckets: DataFrame,
+    bucket_cols: list[str],
+    member_col: str,
+    max_bucket_size: int,
+) -> DataFrame:
+    """Hot-bucket guard: salt members of buckets larger than
+    ``max_bucket_size`` into sub-buckets of ≤ that size (adds a
+    ``__sub`` column to include in the join key).
+
+    Bounds the candidate self-join: a bucket of size m contributes
+    ≤ ceil(m/cap)·C(cap,2) pairs instead of C(m,2), so one degenerate
+    bucket (e.g. a constant-boilerplate corpus) stays linear in m
+    rather than quadratic.  Documented recall tradeoff: pairs straddling
+    two sub-buckets of one mega-bucket are not candidates — acceptable
+    because a mega-bucket at 100 TB is (a) boilerplate whose members are
+    mutual near-dups anyway (any survivor set is equivalent), or (b) a
+    hash-collision pathology that exact verification would reject.
+    """
+    w = Window.partitionBy(*bucket_cols)
+    n = F.count("*").over(w)
+    nsub = F.ceil(n / F.lit(max_bucket_size))
+    return buckets.withColumn(
+        "__sub",
+        F.when(n > max_bucket_size, F.pmod(F.xxhash64(member_col), nsub))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
 
 #: (a, b) parameters for the minhash permutation family
 MINHASH_PARAMS = [(1, 0), (31, 7), (131, 3), (997, 11), (8191, 19), (131071, 23),
@@ -68,12 +98,18 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    sigs: DataFrame, key: str = "doc_id", num_hashes: int = 8, bands: int = 4
+    sigs: DataFrame,
+    key: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
     Scale shape: explode signatures into (band, band_hash) rows and
-    self-join on the bucket — cost is Σ bucket_size², never n²."""
+    self-join on the bucket — cost is Σ bucket_size², never n²; buckets
+    above ``max_bucket_size`` are salted into sub-buckets (cap_buckets)
+    so one degenerate bucket cannot go quadratic."""
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -85,14 +121,16 @@ def minhash_lsh_candidates(
     buckets = sigs.select(key, F.explode(F.array(*band_cols)).alias("bb")).select(
         key, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
+    join_cols = ["band", "bh"]
+    if max_bucket_size:
+        buckets = cap_buckets(buckets, join_cols, key, max_bucket_size)
+        join_cols.append("__sub")
     a, b_ = buckets.alias("a"), buckets.alias("b")
+    cond = F.col(f"a.{key}") < F.col(f"b.{key}")
+    for c in join_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     return (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
-        )
+        a.join(b_, cond)
         .select(F.col(f"a.{key}").alias("d1"), F.col(f"b.{key}").alias("d2"))
         .distinct()
     )

@@ -511,9 +511,14 @@ def _set_arrays_path(df, delta, keys, cell_cols, set_cols, schema, is_w, is_d, o
             init,
             lambda acc, e: F.when(
                 e["ovw"],
+                # overwrite resets to this change's elements; a same-change
+                # deleted_elements entry still wins the equal-timestamp tie
+                # (removal beats addition), matching the elements path
                 F.struct(
-                    F.array_sort(F.array_distinct(e["add"])).alias("alive"),
-                    empty.alias("removed"),
+                    F.array_sort(
+                        F.array_except(F.array_distinct(e["add"]), e["rem"])
+                    ).alias("alive"),
+                    F.array_sort(e["rem"]).alias("removed"),
                 ),
             ).otherwise(
                 F.struct(

@@ -73,14 +73,22 @@ class ParquetMergeTable:
             return json.load(f)
 
     def _commit(self, manifest: dict) -> None:
-        v = manifest["version"]
-        mf = os.path.join(self.path, f"manifest-{v}.json")
-        with open(mf, "w") as f:
-            json.dump(manifest, f)
-        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="_VERSION.")
-        with os.fdopen(fd, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, os.path.join(self.path, "_VERSION"))  # atomic flip
+        from scylla_cdc_rust_spark.operators.faults import retry_with_backoff
+
+        def _write() -> None:
+            v = manifest["version"]
+            mf = os.path.join(self.path, f"manifest-{v}.json")
+            with open(mf, "w") as f:
+                json.dump(manifest, f)
+            fd, tmp = tempfile.mkstemp(dir=self.path, prefix="_VERSION.")
+            with os.fdopen(fd, "w") as f:
+                f.write(str(v))
+            os.replace(tmp, os.path.join(self.path, "_VERSION"))  # atomic flip
+
+        # transient store IO retries with backoff; fatal errors propagate
+        # (R1/R2, stream_reader.rs:97-186) — safe to re-run: the flip is
+        # atomic and idempotent for a fixed manifest
+        retry_with_backoff(_write)
 
     # ---------- reads ----------
 

@@ -155,10 +155,22 @@ def replay(
         hi = bounds[1] + 1
         if cfg.end_timestamp_ms is not None:
             hi = min(hi, cfg.end_timestamp_ms)  # stop_at (log_reader.rs:60-69)
+        # skewed-resume catch-up: coalesce [min floor, max floor) into one
+        # window — filter_new drops advanced streams' rows per their own
+        # floors, so only lagging tails are folded and the per-window
+        # fixed cost is paid once (see streaming/stream_pipeline.py)
+        catchup_hi = None
+        if wm:
+            floors = wm.stream_floors()
+            if floors and max(floors.values()) > lo:
+                catchup_hi = min(max(floors.values()), hi)
         w = cfg.window_size_ms
         begin = lo
         while begin < hi:
-            end = min(begin + w, hi)
+            if catchup_hi is not None and begin < catchup_hi:
+                end = catchup_hi
+            else:
+                end = min(begin + w, hi)
             batch = edf.where((F.col(TIME_MS) >= begin) & (F.col(TIME_MS) < end))
             n = apply_window(
                 batch,

@@ -1444,3 +1444,23 @@ ORACLE_SQL = {
     "emb_lsh_buckets": SQL_EMB_LSH_BUCKETS,
     "emb_binary_meta": SQL_EMB_BINARY_META,
 }
+
+#: execution tier per query.  "production" = the declarative JVM-side
+#: path you would run at 10^10 events.  "verification" = deliberately
+#: reference-shaped cross-checks kept to prove the production path
+#: equivalent — correct, oracle-gated, but NOT the scale path:
+#:   - engine_consumer_replay drives the sequential per-stream Consumer
+#:     state machine (operators/consumer_api.py ReplayConsumer — the
+#:     row-oriented shape of the reference's consume loop,
+#:     stream_reader.rs:392-396); the production equivalent is
+#:     engine_cdc_replay (same semantics, one declarative fold).
+#:   - emb_cosine_topk / doc_ngram_jaccard are brute-force baselines for
+#:     the bucketed LSH variants (emb_lsh_buckets etc.).
+QUERY_TIERS = {name: "production" for name in QUERIES}
+QUERY_TIERS.update(
+    {
+        "engine_consumer_replay": "verification",
+        "emb_cosine_topk": "verification",
+        "doc_ngram_jaccard": "verification",
+    }
+)

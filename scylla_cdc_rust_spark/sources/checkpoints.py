@@ -96,6 +96,17 @@ class WatermarkStore:
         ]
         return max(lower_ms, int(min(times))) if times else lower_ms
 
+    def stream_floors(self) -> dict[bytes, int]:
+        """Per-stream saved floors (window ends).  Lets a resume coalesce
+        the skewed catch-up span [min floor, max floor) into one window
+        instead of replaying every intermediate window against streams
+        that are already ahead (whose rows filter_new drops anyway)."""
+        return {
+            k: int(v[1])
+            for k, v in self._load_state().items()
+            if k != GENERATION_SENTINEL and v[1] is not None
+        }
+
     # ---------- exactly-once filter ----------
 
     def filter_new(self, decoded: DataFrame) -> DataFrame:
@@ -175,12 +186,18 @@ class WatermarkStore:
                 "n_applied": pa.array([r[4] for r in rows], pa.int64()),
             }
         )
-        vdir = os.path.join(self.path, f"v{new_v}")
-        os.makedirs(vdir, exist_ok=True)
-        pq.write_table(tbl, os.path.join(vdir, "part-0000.parquet"))
-        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="_VERSION.")
-        with os.fdopen(fd, "w") as f:
-            f.write(str(new_v))
-        os.replace(tmp, os.path.join(self.path, "_VERSION"))
+        from scylla_cdc_rust_spark.operators.faults import retry_with_backoff
+
+        def _persist() -> None:
+            vdir = os.path.join(self.path, f"v{new_v}")
+            os.makedirs(vdir, exist_ok=True)
+            pq.write_table(tbl, os.path.join(vdir, "part-0000.parquet"))
+            fd, tmp = tempfile.mkstemp(dir=self.path, prefix="_VERSION.")
+            with os.fdopen(fd, "w") as f:
+                f.write(str(new_v))
+            os.replace(tmp, os.path.join(self.path, "_VERSION"))
+
+        # transient store IO retries, fatal propagates (R1/R2); idempotent
+        retry_with_backoff(_persist)
         self._state = prev
         return new_v

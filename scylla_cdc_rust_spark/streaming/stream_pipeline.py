@@ -58,6 +58,9 @@ class StreamingReplay:
         self.wm = WatermarkStore(spark, cfg.watermark_path)
         self.frontier_ms: int | None = None  # max event time seen
         self.floor_ms: int | None = None  # next window begin
+        #: end of the skewed-resume catch-up span (max per-stream floor);
+        #: windows below it are coalesced into one (see _apply_upto)
+        self.catchup_end_ms: int | None = None
         self.batch_id = 0
         self.n_applied = 0
 
@@ -73,7 +76,16 @@ class StreamingReplay:
         w = self.cfg.window_size_ms
         begin = self.floor_ms
         while begin < safe_end_ms:
-            end = min(begin + w, safe_end_ms)
+            if self.catchup_end_ms is not None and begin < self.catchup_end_ms:
+                # skewed-resume catch-up: one coalesced window over
+                # [min floor, max floor) — the per-stream watermark
+                # filter drops already-applied rows of advanced streams,
+                # so only each lagging stream's own tail is folded, and
+                # the fixed per-window cost is paid once instead of once
+                # per intermediate window (C4 at scale)
+                end = min(self.catchup_end_ms, safe_end_ms)
+            else:
+                end = min(begin + w, safe_end_ms)
             batch = log.where((F.col(TIME_MS) >= begin) & (F.col(TIME_MS) < end))
             self.n_applied += apply_window(
                 batch,
@@ -103,8 +115,14 @@ class StreamingReplay:
             # (stream_reader.rs:226-244).  The batch's min is only the
             # floor when no checkpoint exists; otherwise the saved
             # watermark wins — unapplied rows may sit below this batch.
-            saved = self.wm.resume_begin_ms(0)
-            self.floor_ms = saved if saved > 0 else int(r["mn"])
+            floors = self.wm.stream_floors()
+            if floors:
+                self.floor_ms = min(floors.values())
+                hi = max(floors.values())
+                if hi > self.floor_ms:
+                    self.catchup_end_ms = hi
+            else:
+                self.floor_ms = int(r["mn"])
         elif r["mn"] < self.floor_ms:
             # a file older than the applied floor arrived beyond the
             # safety interval — same contract violation the reference's

@@ -16,6 +16,78 @@ from tests.util import assert_state_equal, normalize_engine
 MODES = {"tokens": "set"}
 
 
+def test_transient_error_retries_then_succeeds():
+    """R2 (stream_reader.rs:156-186): transient failures retry with
+    backoff and eventually succeed."""
+    from scylla_cdc_rust_spark.operators.faults import retry_with_backoff
+
+    calls = {"n": 0}
+    sleeps = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError(110, "Connection timed out")  # ETIMEDOUT
+        return "ok"
+
+    assert retry_with_backoff(flaky, sleep=sleeps.append) == "ok"
+    assert calls["n"] == 3
+    assert len(sleeps) == 2 and sleeps[1] > sleeps[0]  # exponential
+
+
+def test_fatal_error_fails_fast_no_retry():
+    """R1 (stream_reader.rs:97-154): a fatal class (corrupt/unparseable
+    data) propagates immediately — exactly one attempt, no retry storm."""
+    import pytest as _pytest
+
+    from scylla_cdc_rust_spark.operators.faults import (
+        is_transient_error,
+        retry_with_backoff,
+    )
+
+    calls = {"n": 0}
+
+    def corrupt():
+        calls["n"] += 1
+        raise ValueError("malformed cell payload")
+
+    with _pytest.raises(ValueError):
+        retry_with_backoff(corrupt, sleep=lambda s: None)
+    assert calls["n"] == 1
+
+    # classifier spot checks against the reference's table
+    assert is_transient_error(TimeoutError())
+    assert is_transient_error(OSError(110, "timed out"))
+    assert not is_transient_error(ValueError("syntax"))
+    assert not is_transient_error(KeyError("schema"))
+
+
+def test_corrupt_log_file_aborts_replay(spark, tmp_path):
+    """Fatal end-to-end: a corrupt parquet file in the change log must
+    abort the replay loudly (the reference propagates parse errors,
+    stream_reader.rs:113-139) — never silently skip or retry forever."""
+    import time
+
+    tmp = str(tmp_path)
+    tbl = generate_log(LogSpec(n_events=2_000, n_docs=100, seed=47))
+    cfg = CDCPipelineConfig(
+        log_path=os.path.join(tmp, "log"),
+        target_path=os.path.join(tmp, "t"),
+        watermark_path=os.path.join(tmp, "wm"),
+        window_size_ms=1 << 60,
+        target_num_buckets=4,
+    )
+    write_log(tbl, cfg.log_path)
+    ep_dir = os.path.join(cfg.log_path, "epoch=0")
+    with open(os.path.join(ep_dir, "part-corrupt.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not parquet")
+
+    t0 = time.time()
+    with pytest.raises(Exception):
+        replay(spark, cfg, MODES)
+    assert time.time() - t0 < 60, "fatal input must fail fast, not retry-storm"
+
+
 def test_crash_between_merge_and_checkpoint_converges(spark, tmp_path):
     """Simulate the worst crash point: target committed, watermark not.
     The rerun re-reads the window; the LWW staleness gate and watermark

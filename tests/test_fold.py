@@ -43,3 +43,21 @@ def test_fold_arrays_impl_medium(spark):
 def test_fold_arrays_impl_hot_key(spark):
     tbl = generate_log(LogSpec(n_events=8_000, n_docs=60, seed=6, hot_doc_frac=0.6))
     check_fold_matches_oracle(spark, tbl, set_impl="arrays")
+
+
+@pytest.mark.parametrize("set_impl", ["elements", "arrays"])
+def test_overwrite_with_same_change_delete(spark, set_impl):
+    """A change that overwrites the collection AND lists an element in
+    deleted_elements: removal wins the equal-timestamp tie — the element
+    must NOT survive even though the overwrite value contains it.
+    (Round-2 regression: the arrays fold ignored rem on overwrite.)"""
+    from tests.scenarios import LogBuilder
+    from tests.util import check_fold_matches_oracle as check
+
+    b = (
+        LogBuilder()
+        .insert("a", [1, 2])
+        .update("a", tokens=[5, 6, 7], del_tokens=True, del_elems=[6], n_tok=3)
+    )
+    st = check(spark, b.build(), set_impl=set_impl)
+    assert st["a"]["tokens"] == [5, 7]

@@ -87,6 +87,54 @@ def test_streaming_resume_from_source_checkpoint(spark, tmp_path):
     assert_state_equal(visible(spark, cfg), oracle_replay(tbl, collection_modes=MODES))
 
 
+def test_skewed_resume_coalesces_catchup(spark, tmp_path):
+    """C4 at scale: after skewed per-stream progress, a restart coalesces
+    [min floor, max floor) into ONE window — it does not replay every
+    intermediate window against streams that are already ahead (whose
+    rows the per-stream watermark filter drops)."""
+    from scylla_cdc_rust_spark.model import TIME_MS
+    from scylla_cdc_rust_spark.plans.pipeline import replay
+    from scylla_cdc_rust_spark.sources.checkpoints import WatermarkStore
+
+    tbl = generate_log(LogSpec(n_events=6_000, n_docs=200, seed=31))
+    w = 60_000
+    cfg = make_cfg(str(tmp_path), tbl, window_size_ms=w)
+    cfg.window_size_ms = w
+    times = tbl.column(TIME_MS).to_pylist()
+    lo, hi = min(times), max(times) + 1
+    mid, skew_to = lo + 2 * w, lo + 7 * w
+
+    # run 1: apply everything up to `skew_to` — the target genuinely
+    # holds that prefix, every stream's floor = skew_to
+    cfg1 = CDCPipelineConfig(**{**cfg.__dict__})
+    cfg1.end_timestamp_ms = skew_to
+    replay(spark, cfg1, MODES)
+    floors = WatermarkStore(spark, cfg.watermark_path).stream_floors()
+    assert floors and max(floors.values()) == skew_to
+
+    # crash analog: rebuild the store as if the laggard's commits past
+    # `mid` were lost — its floor says [mid, skew_to) is unapplied (the
+    # re-read is safe: the merge staleness gate makes re-apply a no-op)
+    sids = sorted(floors)
+    laggard, advanced = sids[0], sids[1:]
+    assert advanced
+    skew_wm_path = os.path.join(str(tmp_path), "wm_skewed")
+    wm2 = WatermarkStore(spark, skew_wm_path)
+    wm2.commit([(laggard, 0)], window_end_ms=mid, generation=0, batch_id=1)
+    wm2.commit([(s, 0) for s in advanced], window_end_ms=skew_to,
+               generation=0, batch_id=2)
+    cfg.watermark_path = skew_wm_path
+
+    # run 2 (restart): the catch-up span [mid, skew_to) must be ONE
+    # batch — not (skew_to-mid)/w batches replayed against streams that
+    # are already ahead
+    stats = replay(spark, cfg, MODES)
+    n_catchup_windows = (skew_to - mid) // w  # 5 without coalescing
+    remaining = -(-(hi - skew_to) // w)
+    assert stats.n_batches <= 1 + remaining < n_catchup_windows + remaining
+    assert_state_equal(visible(spark, cfg), oracle_replay(tbl, collection_modes=MODES))
+
+
 def test_streaming_safety_interval_holds_back_tail(spark, tmp_path):
     """Without drain, events newer than frontier − safety stay unapplied
     (F3 clamp, stream_reader.rs:304-331)."""

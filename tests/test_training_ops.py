@@ -60,6 +60,48 @@ def test_minhash_lsh_finds_injected_near_dups(spark, docs):
     assert deduped.where(F.col("doc_id") >= 500_000).count() == 0
 
 
+def test_lsh_hot_bucket_guard_bounds_pairs(spark):
+    """Pathological constant-text corpus: every doc lands in ONE LSH
+    bucket per band.  The cap salts the mega-bucket into sub-buckets so
+    the candidate count stays ~linear instead of C(n,2)-quadratic."""
+    from scylla_cdc_rust_spark.operators.dedup_docs import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    n, cap = 200, 20
+    corpus = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated everywhere").alias("text"),
+    )
+    sigs = minhash_signatures(corpus)
+    uncapped = minhash_lsh_candidates(sigs, max_bucket_size=None).count()
+    assert uncapped == n * (n - 1) // 2  # one mega-bucket, quadratic
+    capped = minhash_lsh_candidates(sigs, max_bucket_size=cap).count()
+    # ≤ bands · ceil(n/cap) · C(cap,2), far below C(n,2)
+    nsub = -(-n // cap)
+    assert 0 < capped <= 4 * nsub * cap * (cap - 1) // 2
+    assert capped < uncapped / 2
+
+
+def test_embedding_hot_bucket_guard(spark):
+    from scylla_cdc_rust_spark.operators.ann import embedding_near_dups
+
+    n, cap = 120, 12
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i + 1)) for i in range(8)]).alias("embedding"),
+    )
+    uncapped = embedding_near_dups(vecs, dim=8, max_bucket_size=None).count()
+    assert uncapped == n * (n - 1) // 2
+    capped = embedding_near_dups(vecs, dim=8, max_bucket_size=cap).count()
+    # hash salting is uneven, so allow ~4x the ideal Σ C(cap,2) bound —
+    # still far from quadratic
+    nsub = -(-n // cap)
+    assert 0 < capped <= 4 * nsub * cap * (cap - 1) // 2
+    assert capped < uncapped / 4
+
+
 def test_simhash_identical_docs_share_sketch(spark, docs):
     from scylla_cdc_rust_spark.operators.dedup_docs import simhash
 
