@@ -169,19 +169,19 @@ def fold_delta(
             F.lit(NEG_INF),
         ).alias("marker"),
         F.max(F.when(is_w, ordc)).alias("last_ord"),
-        # ttl of the max-ord write op; struct-wrapped so a null ttl at the
-        # max ord is returned as-is rather than skipped by the aggregate
-        F.max_by(
-            F.when(is_w, F.struct(F.col(TTL).alias("v"))), F.when(is_w, ordc)
-        )["v"].alias("ttl_v"),
+        # ttl of the max-ord write op (max_by keeps a NULL value at the
+        # max ordering — only NULL *orderings* are skipped; any max_by
+        # forces SortAggregate in Spark 4.x, an accepted cost: the fold
+        # is bandwidth-bound well before sort CPU, see BENCH.md probes)
+        F.max_by(F.when(is_w, F.col(TTL)), F.when(is_w, ordc)).alias("ttl_v"),
     ]
     for c in cell_cols:
         dflag = _dcol(df, DELETED_PREFIX + c)
         mentioned = is_w & (F.col(c).isNotNull() | dflag)
         aggs.append(
-            F.max_by(F.when(mentioned, F.struct(F.col(c).alias("v"))), F.when(mentioned, ordc))[
-                "v"
-            ].alias(f"{c}__v")
+            F.max_by(F.when(mentioned, F.col(c)), F.when(mentioned, ordc)).alias(
+                f"{c}__v"
+            )
         )
         aggs.append(F.max(F.when(mentioned, ordc)).alias(f"{c}__ord"))
     for c in set_cols + map_cols:
@@ -228,9 +228,8 @@ def fold_delta(
             )
             aggs.append(
                 F.max_by(
-                    F.when(mention, F.struct(val[fn].alias("v"))),
-                    F.when(mention, ordc),
-                )["v"].alias(f"{c}__f{i}__v")
+                    F.when(mention, val[fn]), F.when(mention, ordc)
+                ).alias(f"{c}__f{i}__v")
             )
             aggs.append(F.max(F.when(mention, ordc)).alias(f"{c}__f{i}__o"))
 
@@ -351,7 +350,7 @@ def fold_delta(
         )
         events = events.repartition(*[F.col(k) for k in keys])
         per_elem = events.groupBy(*keys, "k").agg(
-            F.max_by(F.struct(F.col("v")), F.col("pk"))["v"].alias("v"),
+            F.max_by(F.col("v"), F.col("pk")).alias("v"),
             F.max("pk").alias("pk"),
         )
         per_elem = per_elem.select(
@@ -451,6 +450,24 @@ def fold_delta(
 #: path one packed array — crossover measured at ~3 on the bench workload
 AUTO_FANOUT_THRESHOLD = 3.0
 _AUTO_SAMPLE_ROWS = 20_000
+
+
+def resolve_set_impl(
+    df: DataFrame,
+    collection_modes: dict[str, str] | None,
+    key: str = "doc_id",
+    set_impl: str = "auto",
+) -> str:
+    """Resolve 'auto' to a concrete strategy once (one bounded sampling
+    job) so a windowed replay doesn't re-sample per window."""
+    if set_impl != "auto":
+        return set_impl
+    schema = CDCSchema.from_df_schema(df.schema)
+    payload = [c for c in schema.payload if c != key]
+    _, sets, maps, udts = split_modes_full(payload, collection_modes)
+    if not sets:
+        return "elements"
+    return _pick_set_impl(df, sets, bool(maps or udts))
 
 
 def _pick_set_impl(df: DataFrame, set_cols: list[str], has_other_modes: bool) -> str:

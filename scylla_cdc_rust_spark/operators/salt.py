@@ -83,16 +83,14 @@ def fold_delta_salted(
         F.max("row_tomb").alias("row_tomb"),
         F.max("marker").alias("marker"),
         F.max(ln).alias("last_ord"),
-        F.max_by(F.when(ln.isNotNull(), F.struct(F.col("ttl_v").alias("v"))), ln)[
-            "v"
-        ].alias("ttl_v"),
+        F.max_by(F.when(ln.isNotNull(), F.col("ttl_v")), ln).alias("ttl_v"),
     ]
     for c in cell_cols:
         cord = F.col(f"{c}__ord")
         aggs.append(
-            F.max_by(
-                F.when(cord.isNotNull(), F.struct(F.col(f"{c}__v").alias("v"))), cord
-            )["v"].alias(f"{c}__v")
+            F.max_by(F.when(cord.isNotNull(), F.col(f"{c}__v")), cord).alias(
+                f"{c}__v"
+            )
         )
         aggs.append(F.max(cord).alias(f"{c}__ord"))
     comb = part.groupBy(key).agg(*aggs)

@@ -68,32 +68,40 @@ def apply_window(
     decoded = decode(batch)
     if wm is not None:
         decoded = wm.filter_new(decoded)
-    schema = CDCSchema.from_df_schema(decoded.schema)
-    payload = [c for c in schema.payload if c != key]
-    delta = fold_delta(
-        decoded, key=key, collection_modes=collection_modes, schema=schema,
-        set_impl=set_impl,
-    )
-    table.merge(
-        delta,
-        payload=payload,
-        collection_modes=collection_modes,
-        keys_hint=decoded.select(key),
-        assume_all_buckets=bulk,
-    )
-    n = 0
-    if wm is not None:
-        per_stream = decoded.groupBy(STREAM_ID).agg(F.count("*").alias("n")).collect()
-        n = sum(int(r["n"]) for r in per_stream)
-        wm.commit(
-            [(bytes(r[STREAM_ID]), int(r["n"])) for r in per_stream],
-            window_end_ms=window_end_ms,
-            generation=generation,
-            batch_id=batch_id,
+        # the window feeds two actions (merge + per-stream lineage
+        # counts): cache it so the log is scanned once per window, not
+        # twice (spills to disk if the window outgrows memory)
+        decoded = decoded.persist()
+    try:
+        schema = CDCSchema.from_df_schema(decoded.schema)
+        payload = [c for c in schema.payload if c != key]
+        delta = fold_delta(
+            decoded, key=key, collection_modes=collection_modes, schema=schema,
+            set_impl=set_impl,
         )
-    elif count_events:
-        n = decoded.count()
-    return n
+        table.merge(
+            delta,
+            payload=payload,
+            collection_modes=collection_modes,
+            keys_hint=decoded.select(key),
+            assume_all_buckets=bulk,
+        )
+        n = 0
+        if wm is not None:
+            per_stream = decoded.groupBy(STREAM_ID).agg(F.count("*").alias("n")).collect()
+            n = sum(int(r["n"]) for r in per_stream)
+            wm.commit(
+                [(bytes(r[STREAM_ID]), int(r["n"])) for r in per_stream],
+                window_end_ms=window_end_ms,
+                generation=generation,
+                batch_id=batch_id,
+            )
+        elif count_events:
+            n = decoded.count()
+        return n
+    finally:
+        if wm is not None:
+            decoded.unpersist()
 
 
 def replay(
@@ -164,6 +172,10 @@ def replay(
             floors = wm.stream_floors()
             if floors and max(floors.values()) > lo:
                 catchup_hi = min(max(floors.values()), hi)
+        # resolve 'auto' set strategy once per epoch, not per window
+        from scylla_cdc_rust_spark.operators.fold import resolve_set_impl
+
+        impl = resolve_set_impl(edf, collection_modes, key, cfg.set_impl)
         w = cfg.window_size_ms
         begin = lo
         while begin < hi:
@@ -184,7 +196,7 @@ def replay(
                 # a single window spanning the whole epoch touches ~every
                 # bucket: skip the pruning scan (bulk-load mode)
                 bulk=(begin == lo and end == hi),
-                set_impl=cfg.set_impl,
+                set_impl=impl,
             )
             stats.n_events += n
             stats.n_batches += 1

@@ -61,6 +61,7 @@ class StreamingReplay:
         #: end of the skewed-resume catch-up span (max per-stream floor);
         #: windows below it are coalesced into one (see _apply_upto)
         self.catchup_end_ms: int | None = None
+        self._impl: str | None = None  # resolved set_impl ('auto' → concrete)
         self.batch_id = 0
         self.n_applied = 0
 
@@ -73,6 +74,12 @@ class StreamingReplay:
         log = self.spark.read.parquet(self.cfg.log_path)
         if EPOCH in log.columns:
             log = log.where(F.col(EPOCH) == self.generation)
+        if self._impl is None:  # resolve 'auto' once per run
+            from scylla_cdc_rust_spark.operators.fold import resolve_set_impl
+
+            self._impl = resolve_set_impl(
+                log, self.modes, self.key, self.cfg.set_impl
+            )
         w = self.cfg.window_size_ms
         begin = self.floor_ms
         while begin < safe_end_ms:
@@ -96,7 +103,7 @@ class StreamingReplay:
                 batch_id=self.batch_id,
                 collection_modes=self.modes,
                 key=self.key,
-                set_impl=self.cfg.set_impl,
+                set_impl=self._impl,
             )
             self.batch_id += 1
             begin = end
