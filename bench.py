@@ -33,6 +33,9 @@ BENCH_QUERIES = [
     "engine_cdc_replay",
     "cdc_fold_scalar",
     "cdc_fold_set",
+    "cdc_fold_udt",
+    "cdc_fold_map",
+    "cdc_fold_list_delta",
     "cdc_dedup_replay",
     "cdc_window_scan",
     "doc_token_count",

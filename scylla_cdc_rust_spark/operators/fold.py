@@ -584,12 +584,19 @@ def _exists_and_values(
     target_side=None,
     map_cols=(),
     udt_fields=None,
+    target_has=None,
 ):
     """Shared cell-wise composition used by finalize and apply_delta.
 
     ``target_side`` maps column name → Column for the existing state
     (None ⇒ empty target).  ``udt_fields``: col → ordered field names.
+    ``target_has(col)``: whether the existing state carries the column —
+    False for a column the log just grew (schema evolution), where
+    complex extraction (struct field / map_entries) from an untyped NULL
+    would not analyze.
     """
+    if target_has is None:
+        target_has = lambda _c: target_side is not None  # noqa: E731
     d = delta_side
     had_tomb = F.coalesce(d("row_tomb") > NEG_INF, F.lit(False))
     values = {}
@@ -623,7 +630,7 @@ def _exists_and_values(
         # target column is map<k,v> (list_delta presents as values sorted
         # by key at read time — see ``present``)
         alive = F.coalesce(d(f"{c}__alive"), F.array())
-        if target_side is None:
+        if target_side is None or not target_has(c):
             merged = alive
         else:
             reset = F.coalesce(d(f"{c}__reset"), F.lit(False)) | had_tomb
@@ -656,7 +663,7 @@ def _exists_and_values(
         reset = F.coalesce(d(f"{c}__reset"), F.lit(False)) | had_tomb
         field_vals = []
         for fn in fnames:
-            if target_side is None:
+            if target_side is None or not target_has(c):
                 nv = fv[fn]["v"]
             else:
                 nv = (
@@ -789,7 +796,8 @@ def apply_delta(
         return F.when(~F.coalesce(F.col("t.is_deleted"), F.lit(True)), F.col(f"t.{n}"))
 
     values, exists, marker, had_tomb = _exists_and_values(
-        dside, cell_cols, set_cols, tside, map_cols, udt_fields
+        dside, cell_cols, set_cols, tside, map_cols, udt_fields,
+        target_has=lambda c: c in target_cols,
     )
     for c in extra_payload or []:
         ev = F.when(~F.coalesce(had_tomb, F.lit(False)), tside(c))

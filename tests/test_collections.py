@@ -242,6 +242,39 @@ def test_general_modes_fuzz(spark, tmp_path, seed):
 # ---------------------------------------------------------------------------
 
 
+def test_schema_evolution_adds_map_and_udt_columns(spark, tmp_path):
+    """M6/A13: a target built before the log grew map/udt columns must
+    accept a delta that carries them (the reference re-derives the
+    schema from every page, stream_reader.rs:389-390)."""
+    b1 = GeneralLogBuilder().insert("a", vals=[1]).insert("b", vals=[2])
+    t1 = b1.build().drop_columns(
+        ["attrs", "cdc$deleted_attrs", "cdc$deleted_elements_attrs",
+         "meta", "cdc$deleted_meta", "cdc$deleted_elements_meta"]
+    )
+    df1 = decode(spark_df_via_parquet(spark, t1, tmp_path / "b1"))
+    d1 = fold_delta(df1, collection_modes={"vals": "list_delta"})
+    state1 = with_bookkeeping(finalize(d1, collection_modes={"vals": "list_delta"}))
+    assert "attrs" not in state1.columns and "meta" not in state1.columns
+
+    b2 = GeneralLogBuilder()
+    b2._t = 100  # strictly later ords
+    b2.update("a", attrs={"x": 1}, meta={"int_val": 5, "bool_val": None})
+    b2.delete_row("b")
+    df2 = decode(spark_df_via_parquet(spark, b2.build(), tmp_path / "b2"))
+    d2 = fold_delta(df2, collection_modes=GENERAL_MODES)
+    merged = apply_delta(
+        state1, d2, collection_modes=GENERAL_MODES, keep_tombstones=False
+    )
+    got = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in present(merged, GENERAL_MODES).collect()
+    }
+    assert set(got) == {"a"}
+    assert got["a"]["attrs"] == {"x": 1}
+    assert got["a"]["meta"] == {"int_val": 5, "bool_val": None}
+    assert got["a"]["vals"] == [1]  # pre-evolution column carried through
+
+
 def test_compose_general_modes(spark, tmp_path):
     b = GeneralLogBuilder()
     b.insert("a", vals=[1, 2], attrs={"x": 1}, meta={"int_val": 1, "bool_val": None})
