@@ -144,15 +144,24 @@ _W = {int(OperationType.ROW_UPDATE), int(OperationType.ROW_INSERT)}
 _D = {int(OperationType.ROW_DELETE), int(OperationType.PARTITION_DELETE)}
 
 
+def _as_plain(v):
+    """Arrow→pandas cell to plain python: numpy arrays → list, map cells
+    (list of (k, v) tuples) stay as-is, dict/scalars pass through."""
+    return v.tolist() if hasattr(v, "tolist") else v
+
+
 class ReplayConsumer(Consumer):
     """Sequential apply per the replicator semantics (A1–A11) — the
-    row-oriented reference shape, kept as a cross-check of the
-    declarative fold and as the template for custom stateful consumers."""
+    row-oriented reference shape, kept as a VERIFICATION-tier
+    cross-check of the declarative fold (see queries.QUERY_TIERS) and
+    as the template for custom stateful consumers.  Supports all
+    collection modes: atomic/list, set, map, list_delta, udt."""
 
     def __init__(self, key: str = "doc_id", collection_modes: dict | None = None):
         self.key = key
         self.modes = collection_modes or {"tokens": "set"}
         self.state: dict[str, dict] = {}
+        self.payload: list[str] = []
 
     def consume_batch(self, pdf: pd.DataFrame) -> None:
         payload = [
@@ -162,6 +171,7 @@ class ReplayConsumer(Consumer):
             and c not in (self.key, OP_NORM, ORD, "is_expiration", "epoch",
                           "cdc_time_ms", "cdc_time_seq", "stream_bucket")
         ]
+        self.payload = payload
         for d in pdf.sort_values(ORD).to_dict("records"):
             op = int(d[OP_NORM])
             k = d[self.key]
@@ -183,7 +193,51 @@ class ReplayConsumer(Consumer):
                 delems = d.get(DELETED_ELEMS_PREFIX + c)
                 if delems is not None and not len(delems):
                     delems = None
-                if self.modes.get(c) == "set":
+                mode = self.modes.get(c, "atomic")
+                if mode in ("map", "list_delta"):
+                    # per-(map)key value LWW (update_map_or_set / update_list,
+                    # replicator_consumer.rs:415-469,472-528); pandas gives
+                    # arrow map cells as list-of-(k, v) pairs
+                    val_d = dict(_as_plain(val)) if val is not None and len(val) else None
+                    dele = _as_plain(delems) if delems is not None else None
+                    if deleted:
+                        cur = dict(val_d) if val_d else {}
+                        for k2 in dele or []:
+                            cur.pop(k2, None)
+                        row["cells"][c] = cur or None
+                    elif val_d or dele:
+                        cur = dict(row["cells"].get(c) or {})
+                        if val_d:
+                            cur.update(val_d)
+                        for k2 in dele or []:
+                            cur.pop(k2, None)
+                        row["cells"][c] = cur or None
+                    continue
+                if mode == "udt":
+                    # per-field LWW (update_udt, replicator_consumer.rs:531-585)
+                    dele = _as_plain(delems) if delems is not None else None
+                    if deleted:
+                        cur = dict(val) if val is not None else None
+                    elif val is not None:
+                        fieldnames = list(val)
+                        cur = dict(
+                            row["cells"].get(c) or {fn: None for fn in fieldnames}
+                        )
+                        delset = set(dele or [])
+                        for i, fn in enumerate(fieldnames):
+                            if val[fn] is not None:
+                                cur[fn] = val[fn]
+                            elif i in delset:
+                                cur[fn] = None
+                    else:
+                        continue
+                    if cur is not None and not any(
+                        x is not None for x in cur.values()
+                    ):
+                        cur = None
+                    row["cells"][c] = cur
+                    continue
+                if mode == "set":
                     if deleted:
                         # Overwrite resets to this change's elements; a
                         # deleted_elements entry in the SAME change still
@@ -218,32 +272,49 @@ class ReplayConsumer(Consumer):
             row["ttl"] = None if (ttl is None or pd.isna(ttl)) else int(ttl)
             row["last_ord"] = int(d[ORD])
 
+    def _present(self, c, v):
+        """User-visible shape per mode (mirrors operators.fold.present)."""
+        if v is None:
+            return None
+        mode = self.modes.get(c, "atomic")
+        if mode == "list_delta":
+            return [x for _, x in sorted(v.items())]
+        return v
+
     def finish(self) -> pd.DataFrame:
         rows = []
         for k, row in self.state.items():
             if not (row["marker"] or any(v is not None for v in row["cells"].values())):
                 continue
-            n_tok = row["cells"].get("n_tok")
-            toks = row["cells"].get("tokens")
-            rows.append(
-                {
-                    "doc_id": k,
-                    "tokens": None if toks is None else [int(x) for x in toks],
-                    "n_tok": None if n_tok is None else int(n_tok),
-                    "source": row["cells"].get("source"),
-                    "ttl": row["ttl"],
-                    "last_ord": row["last_ord"],
-                }
-            )
-        return pd.DataFrame(rows, columns=["doc_id", "tokens", "n_tok", "source", "ttl", "last_ord"])
+            rec = {self.key: k}
+            for c in self.payload:
+                rec[c] = self._present(c, row["cells"].get(c))
+            rec["ttl"] = row["ttl"]
+            rec["last_ord"] = row["last_ord"]
+            rows.append(rec)
+        return pd.DataFrame(
+            rows, columns=[self.key, *self.payload, "ttl", "last_ord"]
+        )
 
 
 def replay_consumer_fold(
-    decoded: DataFrame, collection_modes: dict | None = None
+    decoded: DataFrame,
+    collection_modes: dict | None = None,
+    output_schema: str | T.StructType = REPLAY_SCHEMA,
+    key: str = "doc_id",
 ) -> DataFrame:
-    """The full log folded by sequential consumers (reference-shaped path)."""
+    """The full log folded by sequential consumers (reference-shaped path).
+
+    ``output_schema`` must list (key, payload..., ttl, last_ord) for the
+    log's payload columns — defaults to the tokenized-sequences shape.
+
+    Contract: ONE generation at a time, like the reference (stream ids
+    are generation-scoped; a key's changes move to a different stream at
+    rollover, log_reader.rs:171-188).  Multi-epoch logs must be applied
+    epoch-by-epoch with the generation barrier (plans/pipeline.py) —
+    this function alone would emit one row per (generation, key)."""
     return consume_streams(
         decoded,
-        lambda _sid: ReplayConsumer(collection_modes=collection_modes),
-        REPLAY_SCHEMA,
+        lambda _sid: ReplayConsumer(key=key, collection_modes=collection_modes),
+        output_schema,
     )

@@ -177,6 +177,48 @@ def test_udt_value_wins_over_delete_id_same_change(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Consumer-trait cross-check: the sequential per-stream ReplayConsumer
+# must agree with the declarative fold on every collection mode
+# ---------------------------------------------------------------------------
+
+
+def test_consumer_agrees_with_fold_on_general_modes(spark, tmp_path):
+    from scylla_cdc_rust_spark.operators.consumer_api import replay_consumer_fold
+    from scylla_cdc_rust_spark.operators.fold import fold, present
+
+    b = GeneralLogBuilder()
+    b.insert("a", vals=[1, 2], attrs={"x": 1}, meta={"int_val": 1, "bool_val": None})
+    b.list_append("a", [3])
+    b.list_remove_values("a", [2])
+    b.map_put("a", {"y": 2})
+    b.update("a", attrs={"z": 5, "x": 9}, del_attr_keys=["x"])  # removal wins tie
+    b.udt_set_fields("a", bool_val=True)
+    b.udt_set_fields("a", int_val=7, del_fields=["int_val"])  # value wins tie
+    b.insert("b", vals=[9])
+    b.delete_row("b")
+    b.insert("c", meta={"int_val": 3, "bool_val": False})
+    b.udt_overwrite("c", null=True)
+
+    df = decode(spark_df_via_parquet(spark, b.build(), tmp_path))
+    schema = (
+        "doc_id string, vals array<int>, attrs map<string,int>, "
+        "meta struct<int_val:int,bool_val:boolean>, ttl long, last_ord long"
+    )
+    seq = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in replay_consumer_fold(df, GENERAL_MODES, schema).collect()
+    }
+    dec = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in present(fold(df, collection_modes=GENERAL_MODES), GENERAL_MODES).collect()
+    }
+    assert set(seq) == set(dec)
+    for k in dec:
+        for c in ("vals", "attrs", "meta", "ttl", "last_ord"):
+            assert seq[k][c] == dec[k][c], (k, c, seq[k][c], dec[k][c])
+
+
+# ---------------------------------------------------------------------------
 # Randomized interleavings vs the sequential oracle
 # ---------------------------------------------------------------------------
 
