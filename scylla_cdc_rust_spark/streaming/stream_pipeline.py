@@ -145,16 +145,36 @@ class StreamingReplay:
 
     # ---------- runs ----------
 
-    def run_available_now(self, drain: bool = True) -> int:
-        """Bounded replay of everything currently in the log dir."""
+    def _source(self):
         schema = self.spark.read.parquet(self.cfg.log_path).schema
-        src = (
+        return (
             self.spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", self.cfg.max_files_per_trigger)
             .parquet(self.cfg.log_path)
         )
+
+    def run_continuous(self, poll_interval_s: float = 10.0):
+        """Unbounded tailing mode — the reference's primary loop
+        (CDCLogReader polling every sleep_interval for new windows,
+        log_reader.rs:116-236; default interval log_reader.rs:40-44).
+        New log files are discovered each trigger; complete windows
+        behind the safety interval are applied as they close.  Returns
+        the StreamingQuery — call ``.stop()`` (graceful stop, R4) or
+        rely on ``cfg.end_timestamp_ms`` (stop_at) which freezes applies
+        past the bound while the query keeps polling."""
+        return (
+            self._source()
+            .writeStream.foreachBatch(self._on_batch)
+            .option("checkpointLocation", self.cfg.checkpoint_location)
+            .trigger(processingTime=f"{poll_interval_s} seconds")
+            .start()
+        )
+
+    def run_available_now(self, drain: bool = True) -> int:
+        """Bounded replay of everything currently in the log dir."""
         q = (
-            src.writeStream.foreachBatch(self._on_batch)
+            self._source()
+            .writeStream.foreachBatch(self._on_batch)
             .option("checkpointLocation", self.cfg.checkpoint_location)
             .trigger(availableNow=True)
             .start()

@@ -87,6 +87,51 @@ def test_streaming_resume_from_source_checkpoint(spark, tmp_path):
     assert_state_equal(visible(spark, cfg), oracle_replay(tbl, collection_modes=MODES))
 
 
+def test_continuous_tailing_applies_growing_log(spark, tmp_path):
+    """run_continuous: a live query discovers files appended after start
+    and applies closed windows — the reference's polling loop
+    (log_reader.rs:116-236)."""
+    import time
+
+    tbl = generate_log(LogSpec(n_events=6_000, n_docs=200, seed=37))
+    tmp = str(tmp_path)
+    # files interleave in time: the safety interval absorbs the lag
+    # between discovery order and event time (the reference's clock-
+    # drift guard) — window_size small enough that windows close early
+    cfg = make_cfg(tmp, tbl, files_per_epoch=8, window_size_ms=50_000)
+    ep_dir = os.path.join(cfg.log_path, "epoch=0")
+    files = sorted(os.listdir(ep_dir))
+    held = files[len(files) // 2:]
+    stash = os.path.join(tmp, "stash")
+    os.makedirs(stash)
+    for f in held:
+        shutil.move(os.path.join(ep_dir, f), os.path.join(stash, f))
+
+    r = StreamingReplay(spark, cfg, MODES)
+    q = r.run_continuous(poll_interval_s=1.0)
+    try:
+        deadline = time.time() + 120
+        while r.n_applied == 0 and time.time() < deadline:
+            time.sleep(0.5)
+        first = r.n_applied
+        assert first > 0, "no windows applied from the initial files"
+        for f in held:  # the log grows while the query runs
+            shutil.move(os.path.join(stash, f), os.path.join(ep_dir, f))
+        while r.n_applied == first and time.time() < deadline:
+            time.sleep(0.5)
+        assert r.n_applied > first, "grown log never picked up"
+    finally:
+        q.stop()  # graceful stop (R4)
+
+    # drain the safety tail with a bounded run (fresh source checkpoint:
+    # re-discovery is safe — watermark filter + idempotent merge)
+    cfg2 = CDCPipelineConfig(**{**cfg.__dict__})
+    cfg2.checkpoint_location = os.path.join(tmp, "ckpt2")
+    r2 = StreamingReplay(spark, cfg2, MODES)
+    r2.run_available_now(drain=True)
+    assert_state_equal(visible(spark, cfg), oracle_replay(tbl, collection_modes=MODES))
+
+
 def test_skewed_resume_coalesces_catchup(spark, tmp_path):
     """C4 at scale: after skewed per-stream progress, a restart coalesces
     [min floor, max floor) into ONE window — it does not replay every
