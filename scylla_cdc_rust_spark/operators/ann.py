@@ -1,6 +1,6 @@
 """Approximate nearest neighbours over embedding columns.
 
-Two tiers, both pure DataFrame ops:
+Three tiers, all pure DataFrame ops:
 
 - ``brute_force_topk``: exact cosine top-k via crossJoin — the
   correctness baseline; scale cost is |Q|×|C|, so only for small query
@@ -10,6 +10,12 @@ Two tiers, both pure DataFrame ops:
   buckets; multiple hash tables (rotations) trade recall for cost.
   This is the 100 TB path: bucket id is a plain int column, so the join
   shuffles hash-partitioned by bucket and prunes everything else.
+- ``ivf_topk``: inverted-file index — a deterministic k-means coarse
+  quantizer (``train_ivf_centroids``) partitions candidates into
+  cells; each query probes its ``nprobe`` nearest cells.  Centroids
+  live in the plan as literals (k·dim doubles), assignment is pure
+  codegen, the probe is one equi-join on the cell id.  nprobe = k_cells
+  degenerates to exact search (the property the tests pin).
 
 Dot products use ``zip_with``/``aggregate`` (JVM, codegen) — no Python
 in the hot path.  Hyperplanes are deterministic integer grids so runs
@@ -120,6 +126,108 @@ def lsh_topk(
     w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _sq_dist_to(vec_col, centroid: list[float]):
+    """Squared L2 distance from an array column to a literal centroid."""
+    lit_c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, lit_c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nearest_cells(vec_col, centroids: list[list[float]], n: int):
+    """Indices of the n nearest centroids, as an array column (sorted by
+    distance; ties by index — fully deterministic)."""
+    packed = F.array(
+        *[
+            F.struct(
+                _sq_dist_to(vec_col, c).alias("d"), F.lit(j).alias("j")
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+    return F.slice(
+        F.transform(F.array_sort(packed), lambda s: s["j"]), 1, n
+    )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic k-means coarse quantizer.
+
+    Init = the ``n_centroids`` vectors with the smallest xxhash64(id)
+    (a reproducible sample); then ``iters`` Lloyd steps, each one
+    assign-and-average pass over the data (groupBy cell → per-dimension
+    avg).  Everything is DataFrame ops; only the k·dim centroid floats
+    ever reach the driver.
+    """
+    v = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    seed_rows = (
+        v.orderBy(F.xxhash64("id"), "id").limit(n_centroids).select("v").collect()
+    )
+    centroids = [list(r["v"]) for r in seed_rows]
+    for _ in range(iters):
+        cell = _nearest_cells(F.col("v"), centroids, 1)[0]
+        means = (
+            v.select(cell.alias("cell"), "v")
+            .groupBy("cell")
+            .agg(*[
+                F.avg(F.element_at("v", i + 1)).alias(f"m{i}") for i in range(dim)
+            ])
+            .collect()
+        )
+        new = {int(r["cell"]): [float(r[f"m{i}"]) for i in range(dim)] for r in means}
+        # empty cells keep their previous centroid (standard k-means fix)
+        centroids = [new.get(j, centroids[j]) for j in range(len(centroids))]
+    return centroids
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN: assign candidates to their nearest cell, probe each
+    query's ``nprobe`` nearest cells, exact cosine inside the probed
+    cells.  ``nprobe == n_centroids`` ⇒ identical to brute force."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            candidates, dim, n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    c = candidates.select(
+        F.col(id_col).alias("cid"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("cell", _nearest_cells(F.col("cv"), centroids, 1)[0])
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn(
+        "cell", F.explode(_nearest_cells(F.col("qv"), centroids, nprobe))
+    )
+    scored = q.join(c, "cell").select(
+        "qid", "cid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos")
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.dropDuplicates(["qid", "cid"])
+        .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
 

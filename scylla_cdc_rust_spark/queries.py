@@ -1205,6 +1205,21 @@ FROM embeddings GROUP BY label
 """
 
 
+def q_emb_ivf_topk(spark, sf_dir):
+    """IVF ANN (operators/ann.py ivf_topk): deterministic k-means coarse
+    quantizer, nprobe-cell probe, exact cosine inside probed cells — the
+    similarity-search scale path beside LSH.  Rows-only driver gate (the
+    iterative quantizer is not SQL-expressible); exactness is pinned by
+    pytest: nprobe == n_centroids reproduces brute force bit-for-bit."""
+    from scylla_cdc_rust_spark.operators.ann import ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(e.select("embedding").first()["embedding"])
+    q = e.where(F.col("vec_id") < 5)
+    c = e.where(F.col("vec_id") >= 5)
+    return ivf_topk(q, c, dim=dim, k=5, n_centroids=8, nprobe=3)
+
+
 # ===========================================================================
 # The engine itself, oracle-checked end-to-end
 # ===========================================================================
@@ -1410,6 +1425,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
+    "emb_ivf_topk": q_emb_ivf_topk,
     "emb_binary_meta": q_emb_binary_meta,
 }
 

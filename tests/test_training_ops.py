@@ -84,6 +84,49 @@ def test_lsh_hot_bucket_guard_bounds_pairs(spark):
     assert capped < uncapped / 2
 
 
+def test_ivf_full_probe_equals_brute_force(spark, embs):
+    """nprobe == n_centroids probes every cell ⇒ IVF must reproduce the
+    exact brute-force top-k bit-for-bit (same deterministic tie-break)."""
+    from scylla_cdc_rust_spark.operators.ann import brute_force_topk, ivf_topk
+
+    dim = len(embs.select("embedding").first()["embedding"])
+    q = embs.where(F.col("vec_id") < 4)
+    c = embs.where(F.col("vec_id") >= 4)
+    exact = {
+        (r["qid"], r["rank"]): (r["cid"], r["cos"])
+        for r in brute_force_topk(q, c, k=5).collect()
+    }
+    full_probe = {
+        (r["qid"], r["rank"]): (r["cid"], r["cos"])
+        for r in ivf_topk(q, c, dim=dim, k=5, n_centroids=6, nprobe=6).collect()
+    }
+    assert full_probe == exact
+
+
+def test_ivf_partial_probe_recall(spark, embs):
+    from scylla_cdc_rust_spark.operators.ann import brute_force_topk, ivf_topk
+
+    dim = len(embs.select("embedding").first()["embedding"])
+    q = embs.where(F.col("vec_id") < 4)
+    c = embs.where(F.col("vec_id") >= 4)
+    exact = {(r["qid"], r["cid"]) for r in brute_force_topk(q, c, k=5).collect()}
+    approx = {
+        (r["qid"], r["cid"])
+        for r in ivf_topk(q, c, dim=dim, k=5, n_centroids=6, nprobe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_centroids_deterministic(spark, embs):
+    from scylla_cdc_rust_spark.operators.ann import train_ivf_centroids
+
+    dim = len(embs.select("embedding").first()["embedding"])
+    a = train_ivf_centroids(embs, dim, n_centroids=4)
+    b = train_ivf_centroids(embs, dim, n_centroids=4)
+    assert a == b
+
+
 def test_embedding_hot_bucket_guard(spark):
     from scylla_cdc_rust_spark.operators.ann import embedding_near_dups
 
