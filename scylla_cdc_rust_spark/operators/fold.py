@@ -116,14 +116,41 @@ def split_modes_full(
     return cell, sets, maps, udts
 
 
+def partition_tombstones(
+    df: DataFrame, partition_key: str | list[str]
+) -> DataFrame:
+    """Max PARTITION_DELETE ord per partition key — the A5 general form
+    for composite (pk, ck) keys, where a partition delete kills every
+    clustering row of the pk (delete_partition,
+    replicator_consumer.rs:392-402; tested with clustering keys at
+    replication_tests.rs:705-723, multi-pk :757-777).  Feed the result
+    to ``fold_delta(partition_key=...)`` callers' ``apply_delta(...,
+    partition_tombs=...)`` so target rows of untouched clustering keys
+    die too."""
+    pks = [partition_key] if isinstance(partition_key, str) else list(partition_key)
+    is_pd = F.col(OP_NORM) == int(OperationType.PARTITION_DELETE)
+    return (
+        df.where(is_pd)
+        .groupBy(*pks)
+        .agg(F.max(F.col(ORD)).alias("part_tomb"))
+    )
+
+
 def fold_delta(
     df: DataFrame,
     key: str | list[str] = "doc_id",
     collection_modes: dict[str, str] | None = None,
     schema: CDCSchema | None = None,
     set_impl: str = "auto",
+    partition_key: str | list[str] | None = None,
 ) -> DataFrame:
     """Fold a decoded CDC batch into one composable delta record per key.
+
+    ``partition_key``: for composite keys (pk…, ck…), the pk subset —
+    PARTITION_DELETE ops then tombstone every row of the pk (A5 general
+    form) instead of only the (pk, ck) group they land in; with the
+    default None (single-column key) the two coincide
+    (replicator_consumer.rs:392-402).
 
     Input must carry decode outputs (``op``, ``ord``).  ``key`` may be a
     list (used by the salted two-stage fold, operators/salt.py).
@@ -159,8 +186,18 @@ def fold_delta(
     is_d = F.col(OP_NORM).isin(_D)
     ordc = F.col(ORD)
 
+    ptombs = None
+    if partition_key is not None:
+        # A5 general form: partition deletes tombstone by pk prefix, not
+        # by the full composite key — split them out of the row stream
+        ptombs = partition_tombstones(df, partition_key)
+        df = df.where(F.col(OP_NORM) != int(OperationType.PARTITION_DELETE))
+        is_d = F.col(OP_NORM) == int(OperationType.ROW_DELETE)
+
     if set_cols and set_impl == "auto":
-        set_impl = _pick_set_impl(df, set_cols, bool(map_cols or udt_cols))
+        set_impl = _pick_set_impl(
+            df, set_cols, bool(map_cols or udt_cols or partition_key)
+        )
 
     aggs = [
         F.coalesce(F.max(F.when(is_d, ordc)), F.lit(NEG_INF)).alias("row_tomb"),
@@ -234,12 +271,33 @@ def fold_delta(
             aggs.append(F.max(F.when(mention, ordc)).alias(f"{c}__f{i}__o"))
 
     delta = df.groupBy(*keys).agg(*aggs)
+    if ptombs is not None:
+        # fold the pk-prefix tombstone into each mentioned key's row_tomb;
+        # keys ABSENT from this batch are handled by apply_delta's
+        # partition_tombs pre-pass against the target
+        pks = [partition_key] if isinstance(partition_key, str) else list(partition_key)
+        delta = (
+            delta.join(F.broadcast(ptombs), on=pks, how="left")
+            .withColumn(
+                "row_tomb",
+                F.greatest(
+                    F.col("row_tomb"),
+                    F.coalesce(F.col("part_tomb"), F.lit(NEG_INF)),
+                ),
+            )
+            .drop("part_tomb")
+        )
 
     if set_cols and set_impl == "arrays":
         if map_cols or udt_cols:
             raise NotImplementedError(
                 "set_impl='arrays' does not combine with map/list_delta/udt "
                 "columns yet; use the default 'elements' strategy"
+            )
+        if partition_key is not None:
+            raise NotImplementedError(
+                "set_impl='arrays' folds tombstones in-sequence and cannot "
+                "see pk-prefix deletes; use 'elements' with partition_key"
             )
         return _set_arrays_path(
             df, delta, keys, cell_cols, set_cols, schema, is_w, is_d, ordc
@@ -698,11 +756,12 @@ def _udt_fields_from_delta(delta: DataFrame, udt_cols: list[str]) -> dict:
 
 def finalize(
     delta: DataFrame,
-    key: str = "doc_id",
+    key: str | list[str] = "doc_id",
     payload: list[str] | None = None,
     collection_modes: dict[str, str] | None = None,
 ) -> DataFrame:
     """Delta applied to an empty table → final visible state."""
+    keys = [key] if isinstance(key, str) else list(key)
     payload = payload or _payload_from_delta(delta, key)
     cell_cols, set_cols, map_cols, udt_cols = split_modes_full(
         payload, collection_modes or {"tokens": "set"}
@@ -712,7 +771,7 @@ def finalize(
         d, cell_cols, set_cols, None, map_cols,
         _udt_fields_from_delta(delta, udt_cols),
     )
-    proj = [F.col(key)]
+    proj = [F.col(k) for k in keys]
     proj += [values[c].alias(c) for c in payload]
     proj += [
         F.when(F.col("last_ord").isNotNull(), F.col("ttl_v")).alias("ttl"),
@@ -731,30 +790,36 @@ def _payload_from_delta(delta: DataFrame, key: str) -> list[str]:
 
 def fold(
     df: DataFrame,
-    key: str = "doc_id",
+    key: str | list[str] = "doc_id",
     collection_modes: dict[str, str] | None = None,
     schema: CDCSchema | None = None,
+    partition_key: str | list[str] | None = None,
 ) -> DataFrame:
     """One-shot batch replay: fold the whole log into final state."""
+    keys = [key] if isinstance(key, str) else list(key)
     collection_modes = collection_modes or {"tokens": "set"}
     schema = schema or CDCSchema.from_df_schema(df.schema)
-    payload = [c for c in schema.payload if c != key]
-    delta = fold_delta(df, key=key, collection_modes=collection_modes, schema=schema)
+    payload = [c for c in schema.payload if c not in keys]
+    delta = fold_delta(
+        df, key=key, collection_modes=collection_modes, schema=schema,
+        partition_key=partition_key,
+    )
     return finalize(delta, key=key, payload=payload, collection_modes=collection_modes)
 
 
 def apply_delta(
     target: DataFrame,
     delta: DataFrame,
-    key: str = "doc_id",
+    key: str | list[str] = "doc_id",
     payload: list[str] | None = None,
     collection_modes: dict[str, str] | None = None,
     keep_tombstones: bool = True,
     extra_payload: list[str] | None = None,
+    partition_tombs: DataFrame | None = None,
 ) -> DataFrame:
     """Cell-wise MERGE of a batch delta into existing target state.
 
-    ``target`` schema: key, payload..., ttl, last_ord, __has_marker,
+    ``target`` schema: key(s), payload..., ttl, last_ord, __has_marker,
     is_deleted.  Returns the new target state (same schema).  This is
     the relational body of ``MERGE INTO ... WHEN MATCHED UPDATE / WHEN
     NOT MATCHED INSERT / WHEN MATCHED DELETE`` (SURVEY.md §2.4 A1–A5).
@@ -763,16 +828,38 @@ def apply_delta(
     (schema evolution — a column the log stopped/has not started
     carrying): values pass through untouched unless the row is
     tombstoned.
+
+    ``partition_tombs``: this batch's ``partition_tombstones`` output —
+    for composite (pk, ck) keys, pk-prefix deletes must also kill target
+    rows of clustering keys the batch never mentions (A5 general form,
+    replicator_consumer.rs:392-402): target rows written at/before their
+    pk's part_tomb are marked deleted before the merge.
     """
+    keys = [key] if isinstance(key, str) else list(key)
     payload = payload or _payload_from_delta(delta, key)
     cell_cols, set_cols, map_cols, udt_cols = split_modes_full(
         payload, collection_modes or {"tokens": "set"}
     )
     udt_fields = _udt_fields_from_delta(delta, udt_cols)
 
+    if partition_tombs is not None:
+        pks = [c for c in partition_tombs.columns if c != "part_tomb"]
+        target = (
+            target.join(F.broadcast(partition_tombs), on=pks, how="left")
+            .withColumn(
+                "is_deleted",
+                F.coalesce(F.col("is_deleted"), F.lit(False))
+                | (F.col("last_ord") <= F.coalesce(F.col("part_tomb"), F.lit(NEG_INF))),
+            )
+            .drop("part_tomb")
+        )
+
     t = target.alias("t")
     dd = delta.alias("d")
-    joined = t.join(dd, on=F.col(f"t.{key}") == F.col(f"d.{key}"), how="full_outer")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(f"t.{k}") == F.col(f"d.{k}"))
+    joined = t.join(dd, on=cond, how="full_outer")
 
     # staleness gate: a delta whose newest op is not newer than the target's
     # last applied ord is a replayed window — ignore it wholesale (the
@@ -815,7 +902,9 @@ def apply_delta(
         F.coalesce(F.col("t.last_ord"), F.lit(NEG_INF)),
     )
 
-    proj = [F.coalesce(F.col(f"d.{key}"), F.col(f"t.{key}")).alias(key)]
+    proj = [
+        F.coalesce(F.col(f"d.{k}"), F.col(f"t.{k}")).alias(k) for k in keys
+    ]
     proj += [
         F.when(exists, values[c]).alias(c) for c in [*payload, *(extra_payload or [])]
     ]

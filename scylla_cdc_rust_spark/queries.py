@@ -523,6 +523,61 @@ WHERE t.marker > t.tomb OR f.vals IS NOT NULL
 )
 
 
+def q_cdc_partition_delete(spark, sf_dir):
+    """A5 general form: composite (pk, ck) key — PARTITION_DELETE (no
+    clustering key on the change row) kills every clustering row of the
+    pk written at/before it; ROW_DELETE kills only its own (pk, ck)
+    (delete_partition replicator_consumer.rs:392-402; scenario
+    replication_tests.rs:705-723)."""
+    from scylla_cdc_rust_spark import model as M
+    from scylla_cdc_rust_spark.functions.decode import decode
+    from scylla_cdc_rust_spark.operators.fold import fold
+
+    d = _derived_log(spark, sf_dir)
+    log = d.select(
+        F.col("raw_op").cast("tinyint").alias(M.OPERATION),
+        (F.col("ord") + F.lit(M.ORD_BASE_MS)).alias(M.TIME_MS),
+        F.lit(0).cast("long").alias(M.TIME_SEQ),
+        F.lit(0).cast("int").alias(M.BATCH_SEQ),
+        F.lit(None).cast("long").alias(M.TTL),
+        (F.col("doc_id").cast("int") % 50).alias("pk"),
+        F.when(F.col("base_op").isin(1, 2, 3), (F.col("ord") % 8).cast("int")).alias("ck"),
+        F.when(F.col("base_op").isin(1, 2), F.col("n_tok")).alias("v"),
+    )
+    out = fold(decode(log), key=["pk", "ck"], collection_modes={}, partition_key="pk")
+    return out.select("pk", "ck", "v", "last_ord")
+
+
+SQL_CDC_PARTITION_DELETE = (
+    _log_cte()
+    + """
+, cl AS (
+  SELECT CAST(doc_id AS INT) % 50 AS pk,
+         CASE WHEN base_op IN (1,2,3) THEN CAST(ord % 8 AS INT) END AS ck,
+         ord, base_op,
+         CASE WHEN base_op IN (1,2) THEN n_tok END AS v
+  FROM log
+),
+pd AS (SELECT pk, max(ord) AS ptomb FROM cl WHERE base_op = 4 GROUP BY pk),
+g AS (
+  SELECT pk, ck,
+         coalesce(max(CASE WHEN base_op = 3 THEN ord END), -1) AS rtomb,
+         coalesce(max(CASE WHEN base_op = 2 THEN ord END), -1) AS marker,
+         max(CASE WHEN base_op IN (1,2) THEN ord END)          AS last_w,
+         arg_max(v, CASE WHEN base_op IN (1,2) THEN ord END)   AS v
+  FROM cl WHERE base_op IN (1,2,3) GROUP BY pk, ck
+)
+SELECT g.pk, g.ck,
+       CASE WHEN g.last_w > greatest(g.rtomb, coalesce(p.ptomb, -1))
+            THEN g.v END                AS v,
+       g.last_w * 4194304              AS last_ord
+FROM g LEFT JOIN pd p ON g.pk = p.pk
+WHERE g.marker > greatest(g.rtomb, coalesce(p.ptomb, -1))
+   OR (g.last_w > greatest(g.rtomb, coalesce(p.ptomb, -1)) AND g.v IS NOT NULL)
+"""
+)
+
+
 def q_cdc_dedup_replay(spark, sf_dir):
     """F7/R6 (SURVEY §2.2): exactly-once dedup — a doubled (replayed) log
     deduplicated on (doc_id, ord) must collapse to the original
@@ -1406,6 +1461,7 @@ QUERIES = {
     "cdc_fold_udt": q_cdc_fold_udt,
     "cdc_fold_map": q_cdc_fold_map,
     "cdc_fold_list_delta": q_cdc_fold_list_delta,
+    "cdc_partition_delete": q_cdc_partition_delete,
     "cdc_dedup_replay": q_cdc_dedup_replay,
     "cdc_window_scan": q_cdc_window_scan,
     "cdc_generation_lookup": q_cdc_generation_lookup,
@@ -1439,6 +1495,7 @@ ORACLE_SQL = {
     "cdc_fold_udt": SQL_CDC_FOLD_UDT,
     "cdc_fold_map": SQL_CDC_FOLD_MAP,
     "cdc_fold_list_delta": SQL_CDC_FOLD_LIST_DELTA,
+    "cdc_partition_delete": SQL_CDC_PARTITION_DELETE,
     "cdc_dedup_replay": SQL_CDC_DEDUP_REPLAY,
     "cdc_window_scan": SQL_CDC_WINDOW_SCAN,
     "cdc_generation_lookup": SQL_CDC_GENERATION_LOOKUP,

@@ -1,0 +1,188 @@
+"""A5 general form: composite (pk, ck) keys where PARTITION_DELETE kills
+every clustering row of the pk — ported from the reference's
+test_partition_delete (replication_tests.rs:705-723) and
+test_partition_delete_with_multiple_pk (:757-777)."""
+
+import pyarrow as pa
+import pytest
+
+from scylla_cdc_rust_spark.functions.decode import decode
+from scylla_cdc_rust_spark.model import (
+    BATCH_SEQ,
+    END_OF_BATCH,
+    EPOCH,
+    OPERATION,
+    STREAM_ID,
+    TIME_MS,
+    TIME_SEQ,
+    TTL,
+    OperationType,
+)
+from scylla_cdc_rust_spark.operators.fold import (
+    apply_delta,
+    finalize,
+    fold,
+    fold_delta,
+    partition_tombstones,
+    with_bookkeeping,
+)
+from tests.scenarios import T0
+from tests.util import spark_df_via_parquet
+
+SCHEMA = pa.schema(
+    [
+        (STREAM_ID, pa.binary()),
+        (TIME_MS, pa.int64()),
+        (TIME_SEQ, pa.int64()),
+        (BATCH_SEQ, pa.int32()),
+        (END_OF_BATCH, pa.bool_()),
+        (OPERATION, pa.int8()),
+        (TTL, pa.int64()),
+        ("pk", pa.int32()),
+        ("pk2", pa.int32()),
+        ("ck", pa.int32()),
+        ("v", pa.int32()),
+        ("cdc$deleted_v", pa.bool_()),
+        (EPOCH, pa.int32()),
+    ]
+)
+
+
+class CompositeLog:
+    def __init__(self):
+        self.rows = []
+        self._t = 0
+
+    def _emit(self, op, pk, ck=None, v=None, pk2=0, del_v=False):
+        self._t += 1
+        self.rows.append(
+            {
+                STREAM_ID: b"\x02" * 16,
+                TIME_MS: T0 + self._t * 1000,
+                TIME_SEQ: 0,
+                BATCH_SEQ: 0,
+                END_OF_BATCH: True,
+                OPERATION: int(op),
+                TTL: None,
+                "pk": pk,
+                "pk2": pk2,
+                "ck": ck,
+                "v": v,
+                "cdc$deleted_v": del_v,
+                EPOCH: 0,
+            }
+        )
+        return self
+
+    def insert(self, pk, ck, v, pk2=0):
+        return self._emit(OperationType.ROW_INSERT, pk, ck, v, pk2)
+
+    def update(self, pk, ck, v=None, pk2=0, del_v=False):
+        return self._emit(OperationType.ROW_UPDATE, pk, ck, v, pk2, del_v)
+
+    def delete_row(self, pk, ck, pk2=0):
+        return self._emit(OperationType.ROW_DELETE, pk, ck, pk2=pk2)
+
+    def delete_partition(self, pk, pk2=0):
+        # partition delete carries no clustering key (ck NULL)
+        return self._emit(OperationType.PARTITION_DELETE, pk, None, pk2=pk2)
+
+    def build(self):
+        cols = {f.name: [r[f.name] for r in self.rows] for f in SCHEMA}
+        return pa.table(cols, schema=SCHEMA)
+
+
+KEYS = ["pk", "ck"]
+
+
+def run(spark, b, tmp, partition_key="pk", keys=KEYS):
+    df = decode(spark_df_via_parquet(spark, b.build(), tmp))
+    out = fold(df, key=keys, collection_modes={}, partition_key=partition_key)
+    return {
+        tuple(r[k] for k in keys): r["v"] for r in out.collect()
+    }
+
+
+def test_partition_delete_kills_all_clustering_rows(spark, tmp_path):
+    # replication_tests.rs:705-723: two rows under pk=0, then DELETE pk=0
+    b = CompositeLog().insert(0, 0, 0).insert(0, 1, 1).delete_partition(0)
+    assert run(spark, b, tmp_path) == {}
+
+
+def test_partition_delete_spares_other_pk(spark, tmp_path):
+    b = (
+        CompositeLog()
+        .insert(0, 0, 0)
+        .insert(0, 1, 1)
+        .insert(1, 0, 9)
+        .delete_partition(0)
+    )
+    assert run(spark, b, tmp_path) == {(1, 0): 9}
+
+
+def test_reinsert_after_partition_delete(spark, tmp_path):
+    b = (
+        CompositeLog()
+        .insert(0, 0, 0)
+        .delete_partition(0)
+        .insert(0, 1, 7)  # later write under the deleted pk survives
+    )
+    assert run(spark, b, tmp_path) == {(0, 1): 7}
+
+
+def test_row_delete_is_narrower_than_partition_delete(spark, tmp_path):
+    b = CompositeLog().insert(0, 0, 0).insert(0, 1, 1).delete_row(0, 0)
+    assert run(spark, b, tmp_path) == {(0, 1): 1}
+
+
+def test_partition_delete_multiple_pk_columns(spark, tmp_path):
+    # replication_tests.rs:757-777: composite partition key (pk1, pk2)
+    b = (
+        CompositeLog()
+        .insert(0, 0, 0, pk2=1)
+        .insert(0, 1, 1, pk2=2)
+        .delete_partition(0, pk2=2)
+    )
+    keys = ["pk", "pk2", "ck"]
+    got = run(spark, b, tmp_path, partition_key=["pk", "pk2"], keys=keys)
+    assert got == {(0, 1, 0): 0}
+
+
+def test_partition_delete_across_batches(spark, tmp_path):
+    """The delete arrives in a later micro-batch: target rows of
+    clustering keys the batch never mentions must die via the
+    partition_tombs pre-pass."""
+    b = CompositeLog().insert(0, 0, 0).insert(0, 1, 1).insert(1, 0, 9)
+    cut = len(b.rows)
+    b.delete_partition(0)
+    b.insert(0, 2, 5)  # post-delete write under the same pk
+    full = b.build()
+    t1, t2 = full.slice(0, cut), full.slice(cut)
+
+    df1 = decode(spark_df_via_parquet(spark, t1, tmp_path / "b1"))
+    d1 = fold_delta(df1, key=KEYS, collection_modes={}, partition_key="pk")
+    state1 = with_bookkeeping(finalize(d1, key=KEYS, collection_modes={}))
+    assert {tuple(r[k] for k in KEYS) for r in state1.collect()} == {
+        (0, 0), (0, 1), (1, 0)
+    }
+
+    df2 = decode(spark_df_via_parquet(spark, t2, tmp_path / "b2"))
+    d2 = fold_delta(df2, key=KEYS, collection_modes={}, partition_key="pk")
+    merged = apply_delta(
+        state1,
+        d2,
+        key=KEYS,
+        collection_modes={},
+        keep_tombstones=False,
+        partition_tombs=partition_tombstones(df2, "pk"),
+    )
+    got = {tuple(r[k] for k in KEYS): r["v"] for r in merged.collect()}
+    assert got == {(1, 0): 9, (0, 2): 5}
+
+    # must equal the one-shot fold of the full log
+    fulldf = decode(spark_df_via_parquet(spark, full, tmp_path / "full"))
+    want = {
+        tuple(r[k] for k in KEYS): r["v"]
+        for r in fold(fulldf, key=KEYS, collection_modes={}, partition_key="pk").collect()
+    }
+    assert got == want
