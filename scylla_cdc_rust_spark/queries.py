@@ -578,6 +578,68 @@ WHERE g.marker > greatest(g.rtomb, coalesce(p.ptomb, -1))
 )
 
 
+def q_cdc_image_pairs(spark, sf_dir):
+    """Pre-/post-image pairing (operators/images.py): image rows share
+    the change's (stream, time) and are re-attached as struct columns —
+    the op family the Consumer surface delivers (consumer.rs:37-52)
+    though the replicator skips it (replicator_consumer.rs:878)."""
+    from scylla_cdc_rust_spark import model as M
+    from scylla_cdc_rust_spark.functions.decode import decode
+    from scylla_cdc_rust_spark.operators.images import attach_images
+
+    d = _derived_log(spark, sf_dir)
+
+    def shape(dd, op_col, ntok_col, batch_seq):
+        return dd.select(
+            F.sha2(F.col("sid").cast("string"), 256).cast("binary").alias(M.STREAM_ID),
+            op_col.cast("tinyint").alias(M.OPERATION),
+            (F.col("ord") + F.lit(M.ORD_BASE_MS)).alias(M.TIME_MS),
+            F.lit(0).cast("long").alias(M.TIME_SEQ),
+            F.lit(batch_seq).cast("int").alias(M.BATCH_SEQ),
+            F.lit(None).cast("long").alias(M.TTL),
+            F.col("doc_id"),
+            ntok_col.cast("int").alias("n_tok"),
+            F.col("source"),
+        )
+
+    is_wr = F.col("base_op").isin(1, 2)
+    changes = shape(d, F.col("raw_op"), F.col("n_tok"), 1)
+    pre = shape(
+        d.where(is_wr & (F.col("ord") % 5 == 0)), F.lit(0), F.col("n_tok") - 1, 0
+    )
+    post = shape(
+        d.where(is_wr & (F.col("ord") % 7 == 1)), F.lit(9), F.col("n_tok") + 1, 2
+    )
+    log = changes.unionAll(pre).unionAll(post)
+    out = attach_images(decode(log), ["n_tok", "source"], "doc_id")
+    return (
+        out.where(F.col("pre_image").isNotNull() | F.col("post_image").isNotNull())
+        .select(
+            "doc_id",
+            F.col("ord"),
+            F.col("op").cast("int").alias("op"),
+            "n_tok",
+            F.col("pre_image")["n_tok"].alias("pre_n"),
+            F.col("post_image")["n_tok"].alias("post_n"),
+        )
+    )
+
+
+SQL_CDC_IMAGE_PAIRS = (
+    _log_cte()
+    + """
+SELECT doc_id,
+       ord * 4194304 + 1                          AS ord,
+       abs(raw_op)                                AS op,
+       n_tok,
+       CASE WHEN base_op IN (1,2) AND ord % 5 = 0 THEN n_tok - 1 END AS pre_n,
+       CASE WHEN base_op IN (1,2) AND ord % 7 = 1 THEN n_tok + 1 END AS post_n
+FROM log
+WHERE base_op IN (1,2) AND (ord % 5 = 0 OR ord % 7 = 1)
+"""
+)
+
+
 def q_cdc_dedup_replay(spark, sf_dir):
     """F7/R6 (SURVEY §2.2): exactly-once dedup — a doubled (replayed) log
     deduplicated on (doc_id, ord) must collapse to the original
@@ -1462,6 +1524,7 @@ QUERIES = {
     "cdc_fold_map": q_cdc_fold_map,
     "cdc_fold_list_delta": q_cdc_fold_list_delta,
     "cdc_partition_delete": q_cdc_partition_delete,
+    "cdc_image_pairs": q_cdc_image_pairs,
     "cdc_dedup_replay": q_cdc_dedup_replay,
     "cdc_window_scan": q_cdc_window_scan,
     "cdc_generation_lookup": q_cdc_generation_lookup,
@@ -1496,6 +1559,7 @@ ORACLE_SQL = {
     "cdc_fold_map": SQL_CDC_FOLD_MAP,
     "cdc_fold_list_delta": SQL_CDC_FOLD_LIST_DELTA,
     "cdc_partition_delete": SQL_CDC_PARTITION_DELETE,
+    "cdc_image_pairs": SQL_CDC_IMAGE_PAIRS,
     "cdc_dedup_replay": SQL_CDC_DEDUP_REPLAY,
     "cdc_window_scan": SQL_CDC_WINDOW_SCAN,
     "cdc_generation_lookup": SQL_CDC_GENERATION_LOOKUP,

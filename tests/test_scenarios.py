@@ -227,3 +227,36 @@ def test_range_delete_ops_are_noop_on_keyless_table(spark):
     b._emit("a", OperationType.ROW_RANGE_DEL_EXCL_RIGHT)
     st = check(spark, b)
     assert st["a"]["tokens"] == [1]
+
+
+def test_image_pairing(spark):
+    """PRE_IMAGE/POST_IMAGE rows share the change's (stream, time) and
+    re-attach as struct columns (operators/images.py); changes without
+    images get nulls (consumer.rs:37-52; ignored by the replicator)."""
+    from scylla_cdc_rust_spark.functions.decode import decode
+    from scylla_cdc_rust_spark.operators.images import attach_images
+    from tests.util import spark_df_from_arrow
+
+    b = LogBuilder().insert("a", [1, 2])
+    b.batch(
+        [
+            ("a", "image", {"pre": True, "n_tok": 5}),
+            ("a", "update", {"n_tok": 6}),
+            ("a", "image", {"pre": False, "n_tok": 6}),
+        ]
+    )
+    b.update("a", n_tok=9)
+    out = attach_images(
+        decode(spark_df_from_arrow(spark, b.build())), ["n_tok"], "doc_id"
+    )
+    got = {
+        r["n_tok"]: (
+            None if r["pre_image"] is None else r["pre_image"]["n_tok"],
+            None if r["post_image"] is None else r["post_image"]["n_tok"],
+        )
+        for r in out.collect()
+    }
+    assert got[6] == (5, 6)      # the batched change carries both images
+    assert got[2] == (None, None)
+    assert got[9] == (None, None)
+    assert out.count() == 3      # image rows themselves are not emitted
