@@ -133,6 +133,104 @@ def extract_features(
     return media.mapInPandas(run, schema=out_schema)
 
 
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    transformer: Callable[[bytes, dict, int, int], bytes] | None = None,
+) -> DataFrame:
+    """binary image payload → resized binary payload (mapInPandas).
+
+    Returns (doc_id, payload binary, meta) with meta.width/height set to
+    the target size and meta.n_bytes updated.  ``transformer`` is the
+    codec hook (production: PIL/libvips); the default is the documented
+    deterministic fake — sha256 keystream of ~w·h/64 bytes so payload
+    size tracks the target resolution without a real codec.
+    """
+    if transformer is None:
+
+        def transformer(payload: bytes, _meta: dict, w: int, h: int) -> bytes:
+            n = max(16, (w * h) // 64)
+            seed = hashlib.sha256((payload or b"") + f"{w}x{h}".encode()).digest()
+            return (seed * (n // len(seed) + 1))[:n]
+
+    media = media.where(F.col("meta.media_type") == "image").select(
+        "doc_id", "payload", "meta"
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", MEDIA_META),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                meta = dict(meta or {})
+                out = transformer(payload, meta, width, height)
+                meta.update(width=width, height=height, n_bytes=len(out))
+                payloads.append(out)
+                metas.append(meta)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "meta": metas}
+            )
+
+    return media.mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 32,
+    frame_decoder: Callable[[bytes, dict, int], bytes] | None = None,
+) -> DataFrame:
+    """video payload → one row per sampled frame (mapInPandas, 1→N rows).
+
+    Returns (doc_id, frame_idx, ts_ms, frame binary).  Demonstrates the
+    expanding Arrow batch shape: each input row yields
+    min(duration_ms // every_ms + 1, max_frames) output rows.  The
+    default ``frame_decoder`` is a deterministic fake (sha256 of
+    payload+index); production registers pyav here.
+    """
+    if frame_decoder is None:
+
+        def frame_decoder(payload: bytes, _meta: dict, idx: int) -> bytes:
+            return hashlib.sha256((payload or b"") + idx.to_bytes(4, "big")).digest()
+
+    media = media.where(F.col("meta.media_type") == "video").select(
+        "doc_id", "payload", "meta"
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("ts_ms", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for doc, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                meta = dict(meta or {})
+                dur = int(meta.get("duration_ms") or 0)
+                n = min(dur // every_ms + 1, max_frames)
+                for i in range(n):
+                    ids.append(doc)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    frames.append(frame_decoder(payload, meta, i))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+            )
+
+    return media.mapInPandas(run, schema=out_schema)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Metadata accounting without touching payload bytes (column pruning:
     the binary column must NOT appear in this plan's scan)."""

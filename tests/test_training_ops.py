@@ -232,6 +232,42 @@ def test_multimodal_plumbing(spark):
         extract_features(media, registry=DecoderRegistry()).collect()
 
 
+def test_multimodal_resize_and_frame_sampling(spark):
+    from scylla_cdc_rust_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+    )
+
+    rows = [
+        ("img0", b"\x01" * 64, ("image", "raw", 32, 32, None, 64)),
+        ("img1", b"\x02" * 64, ("image", "raw", 64, 64, None, 64)),
+        ("vid0", b"\x03" * 64, ("video", "raw", 16, 16, 3500, 64)),
+        ("vid1", b"\x04" * 64, ("video", "raw", 16, 16, 500, 64)),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "doc_id string, payload binary, meta struct<media_type:string,"
+        "codec:string,width:int,height:int,duration_ms:int,n_bytes:long>",
+    )
+    resized = {r["doc_id"]: r for r in resize_images(media, 8, 8).collect()}
+    assert set(resized) == {"img0", "img1"}  # videos filtered pre-decode
+    for r in resized.values():
+        assert r["meta"]["width"] == 8 and r["meta"]["height"] == 8
+        assert r["meta"]["n_bytes"] == len(r["payload"]) > 0
+    # determinism
+    again = {r["doc_id"]: bytes(r["payload"]) for r in resize_images(media, 8, 8).collect()}
+    assert again == {k: bytes(v["payload"]) for k, v in resized.items()}
+
+    frames = sample_frames(media, every_ms=1000).collect()
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r["doc_id"], []).append((r["frame_idx"], r["ts_ms"]))
+    # 3500ms @1000ms → 4 frames; 500ms → 1 frame; images excluded
+    assert {k: len(v) for k, v in per_doc.items()} == {"vid0": 4, "vid1": 1}
+    assert sorted(per_doc["vid0"]) == [(0, 0), (1, 1000), (2, 2000), (3, 3000)]
+    assert all(len(r["frame"]) == 32 for r in frames)  # sha256 fake frames
+
+
 def test_generation_fetcher(tmp_path):
     from scylla_cdc_rust_spark.sources.generations import (
         Generation,
