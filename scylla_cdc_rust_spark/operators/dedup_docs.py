@@ -182,6 +182,77 @@ def simhash(df: DataFrame, key: str = "doc_id", text: str = "text", bits: int = 
     return hs.select(key, term.alias("simhash"))
 
 
+def simhash_near_dups(
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    bits: int = 16,
+    radius: int = 2,
+    n_blocks: int = 4,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Near-dup pairs within a SimHash Hamming radius.
+
+    Scale shape (the classic block-pigeonhole trick): split the sketch
+    into ``n_blocks`` blocks — two sketches within Hamming distance
+    ``radius`` (< n_blocks·1) must agree exactly on ≥ n_blocks − radius
+    blocks, so candidates are an equi-join on every
+    (block-combination id, block values) key with n_blocks − radius
+    blocks, then an exact ``bit_count(xor)`` filter.  No all-pairs
+    anywhere; hot buckets are salted via cap_buckets.
+    """
+    from itertools import combinations
+
+    if radius >= n_blocks:
+        raise ValueError("radius must be < n_blocks for the pigeonhole join")
+    sh = simhash(df, key, text, bits)
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
+    blocks = [
+        (F.shiftright(F.col("simhash"), i * block_bits).bitwiseAND(F.lit(mask)))
+        for i in range(n_blocks)
+    ]
+    combos = list(combinations(range(n_blocks), n_blocks - radius))
+    keyed = sh.select(
+        key,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("combo"),
+                        F.concat_ws(
+                            "_", *[blocks[b].cast("string") for b in combo]
+                        ).alias("bk"),
+                    )
+                    for ci, combo in enumerate(combos)
+                ]
+            )
+        ).alias("c"),
+    ).select(key, "simhash", F.col("c.combo").alias("combo"), F.col("c.bk").alias("bk"))
+    join_cols = ["combo", "bk"]
+    if max_bucket_size:
+        keyed = cap_buckets(keyed, join_cols, key, max_bucket_size)
+        join_cols.append("__sub")
+    a, b_ = keyed.alias("a"), keyed.alias("b")
+    cond = F.col(f"a.{key}") < F.col(f"b.{key}")
+    for c in join_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    pairs = (
+        a.join(b_, cond)
+        .select(
+            F.col(f"a.{key}").alias("d1"),
+            F.col(f"b.{key}").alias("d2"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= radius)
+        .distinct()
+    )
+    return pairs
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     key: str = "doc_id",

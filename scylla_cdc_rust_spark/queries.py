@@ -1182,6 +1182,32 @@ FROM sim GROUP BY lang
 """
 
 
+def q_doc_simhash_neardups(spark, sf_dir):
+    """SimHash Hamming-radius near-dup pairs via the block-pigeonhole
+    candidate join (operators/dedup_docs.simhash_near_dups) — oracle is
+    the all-pairs Hamming filter (fine as a gate at sf scale; the
+    production path never goes all-pairs)."""
+    from scylla_cdc_rust_spark.operators.dedup_docs import simhash_near_dups
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = simhash_near_dups(d, bits=16, radius=2)
+    return out.select("d1", "d2", F.col("hamming").cast("int").alias("hamming"))
+
+
+SQL_DOC_SIMHASH_NEARDUPS = f"""
+WITH hs AS (
+  SELECT doc_id,
+         list_transform(list_distinct(string_split(text, ' ')), w -> {_h_duck("w")}) AS hs
+  FROM documents
+),
+sim AS (SELECT doc_id, CAST({_DUCK_BITS} AS BIGINT) AS s FROM hs)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 2
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Rolling polynomial document fingerprint (order-sensitive hash of
     the word sequence)."""
@@ -1541,6 +1567,7 @@ QUERIES = {
     "doc_minhash_signatures": q_doc_minhash_signatures,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_simhash": q_doc_simhash,
+    "doc_simhash_neardups": q_doc_simhash_neardups,
     "doc_fingerprint": q_doc_fingerprint,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
@@ -1576,6 +1603,7 @@ ORACLE_SQL = {
     "doc_minhash_signatures": SQL_DOC_MINHASH_SIGNATURES,
     "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
     "doc_simhash": SQL_DOC_SIMHASH,
+    "doc_simhash_neardups": SQL_DOC_SIMHASH_NEARDUPS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
     "emb_lsh_buckets": SQL_EMB_LSH_BUCKETS,
