@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "cdc_fold_udt",
     "cdc_fold_map",
     "cdc_fold_list_delta",
+    "cdc_partition_delete",
+    "cdc_image_pairs",
     "cdc_dedup_replay",
     "cdc_window_scan",
     "doc_token_count",
@@ -46,6 +48,8 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "emb_cosine_topk",
     "emb_lsh_buckets",
+    "emb_ivf_topk",
+    "doc_simhash_neardups",
 ]
 
 
