@@ -207,9 +207,10 @@ def fold_delta(
         ).alias("marker"),
         F.max(F.when(is_w, ordc)).alias("last_ord"),
         # ttl of the max-ord write op (max_by keeps a NULL value at the
-        # max ordering — only NULL *orderings* are skipped; any max_by
-        # forces SortAggregate in Spark 4.x, an accepted cost: the fold
-        # is bandwidth-bound well before sort CPU, see BENCH.md probes)
+        # max ordering — only NULL *orderings* are skipped).  max_by over
+        # fixed-width values stays in a HashAggregate; a var-length value
+        # (string cells) drops the node to SortAggregate — accepted: the
+        # fold is bandwidth-bound well before sort CPU (BENCH.md probes)
         F.max_by(F.when(is_w, F.col(TTL)), F.when(is_w, ordc)).alias("ttl_v"),
     ]
     for c in cell_cols:
