@@ -338,19 +338,19 @@ def fold_delta(
         packed = events.select(
             *keys,
             "elem",
-            (F.col("__ord") * 2 + (1 - F.col("act"))).alias("pk"),
+            (F.col("__ord") * 2 + (1 - F.col("act"))).alias("__pk"),
         )
         # one shuffle for the whole element path: hash-partitioning by key
         # satisfies the clustering requirement of BOTH the (key, elem)
         # aggregate and the later per-key collect + join, so Catalyst
         # inserts no further exchanges downstream
         packed = packed.repartition(*[F.col(k) for k in keys])
-        per_elem = packed.groupBy(*keys, "elem").agg(F.max("pk").alias("pk"))
+        per_elem = packed.groupBy(*keys, "elem").agg(F.max("__pk").alias("__pk"))
         per_elem = per_elem.select(
             *keys,
             "elem",
-            (1 - F.col("pk") % 2).cast("int").alias("last_act"),
-            F.shiftright(F.col("pk"), 1).alias("last_ord_e"),
+            (1 - F.col("__pk") % 2).cast("int").alias("last_act"),
+            F.shiftright(F.col("__pk"), 1).alias("last_ord_e"),
         )
         evs = per_elem.groupBy(*keys).agg(
             F.collect_list(F.struct("last_ord_e", "elem", "last_act")).alias(
@@ -404,20 +404,20 @@ def fold_delta(
                 *keys,
                 F.col("ev.k").alias("k"),
                 F.col("ev.v").alias("v"),
-                (F.col("__ord") * 2 + (1 - F.col("ev.a"))).alias("pk"),
+                (F.col("__ord") * 2 + (1 - F.col("ev.a"))).alias("__pk"),
             )
         )
         events = events.repartition(*[F.col(k) for k in keys])
         per_elem = events.groupBy(*keys, "k").agg(
-            F.max_by(F.col("v"), F.col("pk")).alias("v"),
-            F.max("pk").alias("pk"),
+            F.max_by(F.col("v"), F.col("__pk")).alias("v"),
+            F.max("__pk").alias("__pk"),
         )
         per_elem = per_elem.select(
             *keys,
             "k",
             "v",
-            (1 - F.col("pk") % 2).cast("int").alias("last_act"),
-            F.shiftright(F.col("pk"), 1).alias("last_ord_e"),
+            (1 - F.col("__pk") % 2).cast("int").alias("last_act"),
+            F.shiftright(F.col("__pk"), 1).alias("last_ord_e"),
         )
         mevs = per_elem.groupBy(*keys).agg(
             F.collect_list(F.struct("last_ord_e", "k", "v", "last_act")).alias(

@@ -186,3 +186,56 @@ def test_partition_delete_across_batches(spark, tmp_path):
         for r in fold(fulldf, key=KEYS, collection_modes={}, partition_key="pk").collect()
     }
     assert got == want
+
+
+def test_partition_delete_with_set_column(spark, tmp_path):
+    """pk-prefix tombstones must also gate element-level (set) state:
+    elements added before the partition delete die, later ones live."""
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            (STREAM_ID, pa.binary()),
+            (TIME_MS, pa.int64()),
+            (TIME_SEQ, pa.int64()),
+            (BATCH_SEQ, pa.int32()),
+            (END_OF_BATCH, pa.bool_()),
+            (OPERATION, pa.int8()),
+            (TTL, pa.int64()),
+            ("pk", pa.int32()),
+            ("ck", pa.int32()),
+            ("tags", pa.list_(pa.int32())),
+            ("cdc$deleted_tags", pa.bool_()),
+            ("cdc$deleted_elements_tags", pa.list_(pa.int32())),
+            (EPOCH, pa.int32()),
+        ]
+    )
+    rows = []
+
+    def emit(t, op, pk, ck, tags=None, dele=None):
+        rows.append(
+            {
+                STREAM_ID: b"\x03" * 16, TIME_MS: T0 + t * 1000, TIME_SEQ: 0,
+                BATCH_SEQ: 0, END_OF_BATCH: True, OPERATION: int(op), TTL: None,
+                "pk": pk, "ck": ck, "tags": tags,
+                "cdc$deleted_tags": False, "cdc$deleted_elements_tags": dele,
+                EPOCH: 0,
+            }
+        )
+
+    emit(1, OperationType.ROW_UPDATE, 0, 0, tags=[1, 2])
+    emit(2, OperationType.ROW_UPDATE, 0, 1, tags=[3])
+    emit(3, OperationType.PARTITION_DELETE, 0, None)
+    emit(4, OperationType.ROW_UPDATE, 0, 0, tags=[9])   # re-add after pd
+    emit(5, OperationType.ROW_UPDATE, 1, 0, tags=[7])   # other pk untouched
+    tbl = pa.table({f.name: [r[f.name] for r in rows] for f in schema}, schema=schema)
+
+    df = decode(spark_df_via_parquet(spark, tbl, tmp_path))
+    out = fold(
+        df, key=KEYS, collection_modes={"tags": "set"}, partition_key="pk"
+    )
+    got = {
+        (r["pk"], r["ck"]): (None if r["tags"] is None else list(r["tags"]))
+        for r in out.collect()
+    }
+    assert got == {(0, 0): [9], (1, 0): [7]}
