@@ -44,3 +44,7 @@ class CDCPipelineConfig:
 
     # exactly-once / lineage
     keep_tombstones: bool = True  # retain delete tombstones for stale-replay safety
+
+    # maintenance: drop superseded COW bucket dirs every N applied
+    # windows (directory-scan only, no data rewrite; 0 = never)
+    vacuum_every_batches: int = 16

@@ -282,15 +282,33 @@ class ParquetMergeTable:
                     buckets[str(b)] = bdir
             m = {**m, "version": new_v, "buckets": buckets}
             self._commit(m)
-        referenced = {os.path.join(self.path, p).split(f"/{BUCKET_COL}=")[0] for p in m["buckets"].values()}
+        # bucket-dir granularity: a long windowed replay supersedes a few
+        # buckets per version — dropping only whole version dirs would
+        # leak every superseded bucket inside still-referenced versions
+        # (unbounded growth at 10^10 events)
+        referenced = {
+            os.path.normpath(os.path.join(self.path, p))
+            for p in m["buckets"].values()
+        }
         data_root = os.path.join(self.path, "data")
         if os.path.isdir(data_root):
             import shutil
 
-            for d in os.listdir(data_root):
-                full = os.path.join(data_root, d)
-                if full not in referenced:
-                    shutil.rmtree(full, ignore_errors=True)
+            for d in sorted(os.listdir(data_root)):
+                vdir = os.path.join(data_root, d)
+                if not os.path.isdir(vdir):
+                    continue
+                for b in sorted(os.listdir(vdir)):
+                    bdir = os.path.join(vdir, b)
+                    if b.startswith(f"{BUCKET_COL}=") and (
+                        os.path.normpath(bdir) not in referenced
+                    ):
+                        shutil.rmtree(bdir, ignore_errors=True)
+                # only write markers (_SUCCESS/.crc) left ⇒ drop the version
+                if not any(
+                    e.startswith(f"{BUCKET_COL}=") for e in os.listdir(vdir)
+                ):
+                    shutil.rmtree(vdir, ignore_errors=True)
 
 
 class IcebergMergeTable:  # pragma: no cover - requires Iceberg runtime jars

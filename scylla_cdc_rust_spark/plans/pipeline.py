@@ -202,6 +202,8 @@ def replay(
             stats.n_batches += 1
             batch_id += 1
             begin = end
+            if cfg.vacuum_every_batches and batch_id % cfg.vacuum_every_batches == 0:
+                table.vacuum()  # drop superseded bucket dirs (no rewrite)
         stats.epochs.append(ep)
     stats.seconds = time.time() - t0
     return stats

@@ -107,6 +107,11 @@ class StreamingReplay:
             )
             self.batch_id += 1
             begin = end
+            if (
+                self.cfg.vacuum_every_batches
+                and self.batch_id % self.cfg.vacuum_every_batches == 0
+            ):
+                self.table.vacuum()  # drop superseded bucket dirs
         self.floor_ms = safe_end_ms
 
     def _on_batch(self, batch_df, _sid: int) -> None:

@@ -119,3 +119,44 @@ def test_vacuum_drops_orphans_and_old_tombstones(spark, tmp_path):
     assert_state_equal(normalize_engine(table.read_visible().collect()), before)
     data_dirs = os.listdir(os.path.join(cfg.target_path, "data"))
     assert len(data_dirs) == 1  # old versions gone
+
+
+def test_vacuum_reclaims_superseded_buckets(spark, tmp_path):
+    """A long windowed replay must not leak superseded COW bucket dirs:
+    auto-vacuum (cfg.vacuum_every_batches) keeps on-disk bucket dirs
+    bounded by the live manifest, and the visible state is unchanged."""
+    import os
+
+    from scylla_cdc_rust_spark.operators.merge import ParquetMergeTable
+
+    tmp = str(tmp_path)
+    tbl = generate_log(LogSpec(n_events=6_000, n_docs=200, seed=53))
+    cfg = CDCPipelineConfig(
+        log_path=os.path.join(tmp, "log"),
+        target_path=os.path.join(tmp, "t"),
+        watermark_path=os.path.join(tmp, "wm"),
+        window_size_ms=30_000,  # many windows
+        target_num_buckets=4,
+        vacuum_every_batches=4,
+    )
+    write_log(tbl, cfg.log_path)
+    stats = replay(spark, cfg, MODES)
+    assert stats.n_batches > 8
+
+    t = ParquetMergeTable(spark, cfg.target_path, num_buckets=4)
+    t.vacuum()  # final sweep
+    data_root = os.path.join(cfg.target_path, "data")
+    on_disk = {
+        os.path.join(v, b)
+        for v in os.listdir(data_root)
+        for b in os.listdir(os.path.join(data_root, v))
+        if b.startswith("__bucket=")
+    }
+    # everything on disk is referenced by the live manifest — no leaks
+    m = t._manifest()
+    referenced = {p.split("data/")[1] for p in m["buckets"].values()}
+    assert on_disk == referenced
+    assert_state_equal(
+        normalize_engine(t.read_visible().collect()),
+        oracle_replay(tbl, collection_modes=MODES),
+    )
