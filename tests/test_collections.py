@@ -106,6 +106,18 @@ def test_map_same_change_put_and_remove_key(spark, tmp_path):
     assert st["a"]["attrs"] == {"w": 2}
 
 
+def test_insert_empty_collections(spark, tmp_path):
+    # INSERT ... VALUES (.., {}, {}) — CDC encodes an overwrite with no
+    # elements: the column ends NULL, the row lives via its marker
+    # (replication_tests.rs test_map_insert first op :536-552)
+    b = GeneralLogBuilder().insert("a", vals=[], attrs={})
+    b.insert("b", attrs={"k": 1})
+    b.map_overwrite("b", {})  # UPDATE SET v = {} — also empties it
+    st = check(spark, b, tmp_path)
+    assert st["a"]["vals"] is None and st["a"]["attrs"] is None
+    assert st["b"]["attrs"] is None
+
+
 def test_map_after_row_delete(spark, tmp_path):
     b = GeneralLogBuilder().insert("a", attrs={"x": 1})
     b.delete_row("a")
