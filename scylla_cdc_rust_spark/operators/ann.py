@@ -163,6 +163,7 @@ def train_ivf_centroids(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_mod: int | None = None,
 ) -> list[list[float]]:
     """Deterministic k-means coarse quantizer.
 
@@ -173,6 +174,10 @@ def train_ivf_centroids(
     ever reach the driver.
     """
     v = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    if sample_mod:
+        # deterministic 1/sample_mod training subsample — standard IVF
+        # practice: the quantizer needs the density shape, not every row
+        v = v.where(F.pmod(F.xxhash64("id"), F.lit(sample_mod)) == 0)
     seed_rows = (
         v.orderBy(F.xxhash64("id"), "id").limit(n_centroids).select("v").collect()
     )

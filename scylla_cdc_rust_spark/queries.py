@@ -1359,13 +1359,14 @@ def q_emb_ivf_topk(spark, sf_dir):
     similarity-search scale path beside LSH.  Rows-only driver gate (the
     iterative quantizer is not SQL-expressible); exactness is pinned by
     pytest: nprobe == n_centroids reproduces brute force bit-for-bit."""
-    from scylla_cdc_rust_spark.operators.ann import ivf_topk
+    from scylla_cdc_rust_spark.operators.ann import ivf_topk, train_ivf_centroids
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(e.select("embedding").first()["embedding"])
     q = e.where(F.col("vec_id") < 5)
     c = e.where(F.col("vec_id") >= 5)
-    return ivf_topk(q, c, dim=dim, k=5, n_centroids=8, nprobe=3)
+    cents = train_ivf_centroids(c, dim, n_centroids=8, sample_mod=4)
+    return ivf_topk(q, c, dim=dim, k=5, n_centroids=8, nprobe=3, centroids=cents)
 
 
 # ===========================================================================
