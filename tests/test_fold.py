@@ -61,3 +61,17 @@ def test_overwrite_with_same_change_delete(spark, set_impl):
     )
     st = check(spark, b.build(), set_impl=set_impl)
     assert st["a"]["tokens"] == [5, 7]
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("RUN_SLOW_GOLDEN"),
+    reason="1M-event golden diff: run with RUN_SLOW_GOLDEN=1 (~3 min)",
+)
+def test_fold_golden_1m_events(spark):
+    """Largest oracle-diffable scale: 1M events / 60k docs / 2 epochs,
+    engine fold vs the sequential python oracle, every column."""
+    tbl = generate_log(
+        LogSpec(n_events=1_000_000, n_docs=60_000, seed=4242, n_epochs=2,
+                hot_doc_frac=0.05)
+    )
+    check_fold_matches_oracle(spark, tbl, set_impl="auto")
