@@ -1213,6 +1213,44 @@ WHERE bit_count(xor(a.s, b.s)) <= 2
 """
 
 
+def q_doc_pack_offsets(spark, sf_dir):
+    """Sequence packing (operators/packing.py): shard the corpus, order
+    docs deterministically, cut the concatenated token stream into
+    seq_len packs — per-doc offsets + per-shard accounting."""
+    from scylla_cdc_rust_spark.operators.packing import pack_offsets, pack_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    offs = pack_offsets(d, seq_len=2048, n_shards=4)
+    return pack_stats(offs, seq_len=2048)
+
+
+SQL_DOC_PACK_OFFSETS = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(({_h_duck("CAST(doc_id AS VARCHAR)")}) % 4 AS INT) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT)            AS n_tok
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, shard, n_tok,
+         coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM base
+),
+p AS (
+  SELECT *,
+         CAST(floor(start_off / 2048) AS BIGINT)                 AS first_pack,
+         CAST(floor((start_off + n_tok - 1) / 2048) AS BIGINT)   AS last_pack
+  FROM offs
+)
+SELECT shard, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+       max(last_pack) + 1 AS n_packs,
+       sum(CASE WHEN last_pack > first_pack THEN 1 ELSE 0 END) AS n_straddling,
+       (max(last_pack) + 1) * 2048 - sum(n_tok) AS tail_waste
+FROM p GROUP BY shard
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Rolling polynomial document fingerprint (order-sensitive hash of
     the word sequence)."""
@@ -1575,6 +1613,7 @@ QUERIES = {
     "doc_simhash": q_doc_simhash,
     "doc_simhash_neardups": q_doc_simhash_neardups,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_pack_offsets": q_doc_pack_offsets,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_ivf_topk": q_emb_ivf_topk,
@@ -1611,6 +1650,7 @@ ORACLE_SQL = {
     "doc_simhash": SQL_DOC_SIMHASH,
     "doc_simhash_neardups": SQL_DOC_SIMHASH_NEARDUPS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "doc_pack_offsets": SQL_DOC_PACK_OFFSETS,
     "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
     "emb_lsh_buckets": SQL_EMB_LSH_BUCKETS,
     "emb_binary_meta": SQL_EMB_BINARY_META,

@@ -310,3 +310,32 @@ def test_timeuuid_decode(spark):
     # ordering preserved by (ms, seq)
     keys = [(r["cdc_time_ms"], r["cdc_time_seq"]) for r in dec]
     assert keys == sorted(keys)
+
+
+def test_sequence_packing(spark):
+    from scylla_cdc_rust_spark.operators.packing import pack_offsets, pack_stats
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate([100, 50, 2048, 10, 3000])],
+        "doc_id long, text string",
+    )
+    offs = {r["doc_id"]: r.asDict() for r in
+            pack_offsets(docs, seq_len=1024, n_shards=1).collect()}
+    # docs ordered by id within the single shard: offsets are cumulative
+    assert offs[0]["start_off"] == 0
+    assert offs[1]["start_off"] == 100
+    assert offs[2]["start_off"] == 150
+    assert offs[2]["first_pack"] == 0 and offs[2]["last_pack"] == 2  # straddles
+    assert offs[4]["start_off"] == 100 + 50 + 2048 + 10
+    st = pack_stats(pack_offsets(docs, seq_len=1024, n_shards=1), 1024).collect()[0]
+    total = 100 + 50 + 2048 + 10 + 3000
+    assert st["n_tokens"] == total
+    assert st["n_packs"] == -(-total // 1024)
+    assert st["tail_waste"] == st["n_packs"] * 1024 - total
+    # sharded: every doc appears exactly once, offsets restart per shard
+    sharded = pack_offsets(docs, seq_len=1024, n_shards=3).collect()
+    assert len(sharded) == 5
+    for shard in {r["shard"] for r in sharded}:
+        rows = sorted((r for r in sharded if r["shard"] == shard),
+                      key=lambda r: r["doc_id"])
+        assert rows[0]["start_off"] == 0
