@@ -67,23 +67,50 @@ class _Row:
 
 def oracle_replay(
     tbl: pa.Table,
-    key: str = "doc_id",
+    key: str | list[str] = "doc_id",
     collection_modes: dict[str, str] | None = None,
-) -> dict[str, dict]:
-    """Replay a CDC log table; return {key: {col: value, 'ttl':.., 'last_ord':..}}."""
+    partition_key: str | list[str] | None = None,
+) -> dict:
+    """Replay a CDC log table; return {key: {col: value, 'ttl':.., 'last_ord':..}}.
+
+    ``key`` may be a list (composite pk/ck keys → tuple dict keys);
+    ``partition_key`` (pk subset) makes PARTITION_DELETE drop every row
+    whose pk prefix matches (A5 general form,
+    replicator_consumer.rs:392-402) instead of only its own key group.
+    """
     collection_modes = collection_modes or {"tokens": "set"}
     schema = CDCSchema.from_columns(tbl.column_names)
-    payload_cols = [c for c in schema.payload if c != key]
+    keys = [key] if isinstance(key, str) else list(key)
+    pks = (
+        None
+        if partition_key is None
+        else ([partition_key] if isinstance(partition_key, str) else list(partition_key))
+    )
+    payload_cols = [c for c in schema.payload if c not in keys]
+
+    def keyof(r):
+        return r[keys[0]] if len(keys) == 1 else tuple(r[k] for k in keys)
 
     rows = tbl.to_pylist()
     rows.sort(key=lambda r: (r[TIME_MS], r[TIME_SEQ], r[BATCH_SEQ]))
 
-    state: dict[str, _Row] = {}
+    state: dict = {}
+    pk_idx = [keys.index(p) for p in pks] if pks else []
     for r in rows:
         raw = r[OPERATION]
         op = -raw if raw < 0 else raw  # TTL-expiration normalization
         ordv = pack_ord_py(r[TIME_MS], r[TIME_SEQ], r[BATCH_SEQ])
-        k = r[key]
+        k = keyof(r)
+        if pks is not None and op == int(OperationType.PARTITION_DELETE):
+            pkv = tuple(r[p] for p in pks)
+            dead = [
+                sk
+                for sk in state
+                if tuple(sk[i] for i in pk_idx) == pkv
+            ]
+            for sk in dead:
+                state.pop(sk, None)
+            continue
         if op in _DELETES:
             state.pop(k, None)
             continue

@@ -239,3 +239,42 @@ def test_partition_delete_with_set_column(spark, tmp_path):
         for r in out.collect()
     }
     assert got == {(0, 0): [9], (1, 0): [7]}
+
+
+@pytest.mark.parametrize("seed", [81, 82])
+def test_composite_key_fuzz(spark, tmp_path, seed):
+    """Randomized composite-key interleavings (writes, column deletes,
+    row deletes, partition deletes) vs the sequential oracle's A5
+    general-form replay."""
+    import random
+
+    from scylla_cdc_rust_spark.datagen.oracle import oracle_replay
+
+    rng = random.Random(seed)
+    b = CompositeLog()
+    for _ in range(500):
+        pk, ck = rng.randint(0, 6), rng.randint(0, 4)
+        roll = rng.random()
+        if roll < 0.35:
+            b.insert(pk, ck, rng.randint(0, 99))
+        elif roll < 0.70:
+            b.update(pk, ck, v=rng.randint(0, 99) if rng.random() < 0.8 else None,
+                     del_v=rng.random() < 0.2)
+        elif roll < 0.85:
+            b.delete_row(pk, ck)
+        else:
+            b.delete_partition(pk)
+    tbl = b.build().drop_columns(["pk2"])
+
+    df = decode(spark_df_via_parquet(spark, tbl, tmp_path))
+    got = {
+        (r["pk"], r["ck"]): (r["v"], r["ttl"], r["last_ord"])
+        for r in fold(df, key=KEYS, collection_modes={}, partition_key="pk").collect()
+    }
+    want = {
+        k: (rec["v"], rec["ttl"], rec["last_ord"])
+        for k, rec in oracle_replay(
+            tbl, key=KEYS, collection_modes={}, partition_key="pk"
+        ).items()
+    }
+    assert got == want
