@@ -373,3 +373,54 @@ def test_compose_general_modes(spark, tmp_path):
     for k in want:
         for c in ("vals", "attrs", "meta", "ttl", "last_ord"):
             assert got[k][c] == want[k][c], (k, c, got[k][c], want[k][c])
+
+
+def test_pipeline_replay_general_modes(spark, tmp_path):
+    """The full windowed replay + COW merge table handles map/udt/keyed
+    list columns end-to-end (parquet round-trip of complex types,
+    watermarks, merge projections), matching the sequential oracle."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_rust_spark.config import CDCPipelineConfig
+    from scylla_cdc_rust_spark.datagen.oracle import oracle_replay
+    from scylla_cdc_rust_spark.operators.merge import ParquetMergeTable
+    from scylla_cdc_rust_spark.plans.pipeline import replay
+    from tests.util import present_oracle
+
+    b = GeneralLogBuilder()
+    b.insert("a", vals=[1, 2], attrs={"x": 1}, meta={"int_val": 1, "bool_val": None})
+    b.list_append("a", [3])
+    b.map_put("a", {"y": 2})
+    b.udt_set_fields("a", bool_val=True)
+    b.insert("b", vals=[9])
+    b.delete_row("b")
+    b.insert("c", attrs={"k": 5})
+    tbl = b.build()
+
+    logdir = os.path.join(str(tmp_path), "log", "epoch=0")
+    os.makedirs(logdir)
+    pq.write_table(tbl.drop_columns(["epoch"]), os.path.join(logdir, "part-0.parquet"))
+    cfg = CDCPipelineConfig(
+        log_path=os.path.join(str(tmp_path), "log"),
+        target_path=os.path.join(str(tmp_path), "t"),
+        watermark_path=os.path.join(str(tmp_path), "wm"),
+        window_size_ms=1 << 60,
+        target_num_buckets=4,
+    )
+    st = replay(spark, cfg, collection_modes=GENERAL_MODES)
+    assert st.n_events == tbl.num_rows
+
+    t = ParquetMergeTable(spark, cfg.target_path, num_buckets=4)
+    got = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in present(t.read_visible(), GENERAL_MODES).collect()
+    }
+    want = present_oracle(
+        oracle_replay(tbl, collection_modes=GENERAL_MODES), GENERAL_MODES
+    )
+    assert set(got) == set(want)
+    for k in want:
+        for c in ("vals", "attrs", "meta"):
+            assert got[k][c] == want[k][c], (k, c)
