@@ -48,3 +48,94 @@ class CDCPipelineConfig:
     # maintenance: drop superseded COW bucket dirs every N applied
     # windows (directory-scan only, no data rewrite; 0 = never)
     vacuum_every_batches: int = 16
+
+
+class CDCLogReaderBuilder:
+    """Fluent facade with the reference builder's exact method names
+    (log_reader.rs:318-561) over ``CDCPipelineConfig`` — so a user of
+    the reference can transliterate their setup line by line.
+
+    Mapping notes:
+    - ``session`` / ``keyspace`` / ``table_name`` become the log path
+      (the change log is a lake table, not a live cluster);
+    - ``consumer_factory`` is only needed for the custom-consumer path
+      (operators.consumer_api.consume_streams) — the replicator
+      semantics are the default pipeline;
+    - ``should_save_progress`` maps to tracking watermarks; the engine
+      saves per micro-batch (strictly stronger than
+      ``pause_between_saves``, checkpoints.rs:32-60), so that knob and
+      ``checkpoint_saver`` are accepted for signature parity and
+      realized by the watermark store itself.
+    """
+
+    def __init__(self) -> None:
+        self._cfg = CDCPipelineConfig()
+        self._save_progress = True
+
+    # --- source identity (session/keyspace/table → log path) ---
+    def log_path(self, path: str) -> "CDCLogReaderBuilder":
+        self._cfg.log_path = path
+        return self
+
+    def keyspace(self, _ks: str) -> "CDCLogReaderBuilder":
+        return self  # lake-path engines address the log by path
+
+    def table_name(self, _t: str) -> "CDCLogReaderBuilder":
+        return self
+
+    # --- reference knobs (log_reader.rs:91-476) ---
+    def start_timestamp(self, ms: int) -> "CDCLogReaderBuilder":
+        self._cfg.start_timestamp_ms = ms
+        return self
+
+    def end_timestamp(self, ms: int) -> "CDCLogReaderBuilder":
+        self._cfg.end_timestamp_ms = ms
+        return self
+
+    def window_size(self, ms: int) -> "CDCLogReaderBuilder":
+        self._cfg.window_size_ms = ms
+        return self
+
+    def safety_interval(self, ms: int) -> "CDCLogReaderBuilder":
+        self._cfg.safety_interval_ms = ms
+        return self
+
+    def sleep_interval(self, ms: int) -> "CDCLogReaderBuilder":
+        self._sleep_ms = ms  # poll interval for run_continuous
+        return self
+
+    def should_save_progress(self, value: bool) -> "CDCLogReaderBuilder":
+        self._save_progress = value
+        return self
+
+    def should_load_progress(self, value: bool) -> "CDCLogReaderBuilder":
+        self._save_progress = self._save_progress or value
+        return self
+
+    def pause_between_saves(self, _ms: int) -> "CDCLogReaderBuilder":
+        return self  # per-batch commits are strictly stronger
+
+    # --- engine-side outputs ---
+    def target_path(self, path: str) -> "CDCLogReaderBuilder":
+        self._cfg.target_path = path
+        return self
+
+    def watermark_path(self, path: str) -> "CDCLogReaderBuilder":
+        self._cfg.watermark_path = path
+        return self
+
+    def checkpoint_location(self, path: str) -> "CDCLogReaderBuilder":
+        self._cfg.checkpoint_location = path
+        return self
+
+    def collection_modes(self, modes: dict) -> "CDCLogReaderBuilder":
+        self._cfg.collection_modes = dict(modes)
+        return self
+
+    def build(self) -> CDCPipelineConfig:
+        if not self._cfg.log_path:
+            raise ValueError("log_path is required (the reference errors the "
+                             "same way on a missing table, log_reader.rs:486-510)")
+        if not self._save_progress:
+            self._cfg.watermark_path = ""
+        return self._cfg

@@ -160,3 +160,38 @@ def test_vacuum_reclaims_superseded_buckets(spark, tmp_path):
         normalize_engine(t.read_visible().collect()),
         oracle_replay(tbl, collection_modes=MODES),
     )
+
+
+def test_builder_facade(spark, tmp_path):
+    """CDCLogReaderBuilder: the reference builder's method names
+    (log_reader.rs:318-561) configure and run the same replay."""
+    import os
+
+    from scylla_cdc_rust_spark.config import CDCLogReaderBuilder
+    from scylla_cdc_rust_spark.operators.merge import ParquetMergeTable
+
+    tmp = str(tmp_path)
+    tbl = generate_log(LogSpec(n_events=2_000, n_docs=100, seed=59))
+    write_log(tbl, os.path.join(tmp, "log"))
+    cfg = (
+        CDCLogReaderBuilder()
+        .log_path(os.path.join(tmp, "log"))
+        .target_path(os.path.join(tmp, "t"))
+        .watermark_path(os.path.join(tmp, "wm"))
+        .window_size(1 << 60)
+        .safety_interval(0)
+        .should_save_progress(True)
+        .collection_modes(MODES)
+        .build()
+    )
+    stats = replay(spark, cfg, MODES)
+    assert stats.n_events == tbl.num_rows
+    t = ParquetMergeTable(spark, cfg.target_path, num_buckets=cfg.target_num_buckets)
+    assert_state_equal(
+        normalize_engine(t.read_visible().collect()),
+        oracle_replay(tbl, collection_modes=MODES),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="log_path"):
+        CDCLogReaderBuilder().build()
