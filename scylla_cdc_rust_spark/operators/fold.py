@@ -196,7 +196,7 @@ def fold_delta(
 
     if set_cols and set_impl == "auto":
         set_impl = _pick_set_impl(
-            df, set_cols, bool(map_cols or udt_cols or partition_key)
+            df, set_cols, bool(map_cols or udt_cols or partition_key), keys
         )
 
     aggs = [
@@ -526,31 +526,56 @@ def resolve_set_impl(
     _, sets, maps, udts = split_modes_full(payload, collection_modes)
     if not sets:
         return "elements"
-    return _pick_set_impl(df, sets, bool(maps or udts))
+    return _pick_set_impl(df, sets, bool(maps or udts), [key] if isinstance(key, str) else list(key))
 
 
-def _pick_set_impl(df: DataFrame, set_cols: list[str], has_other_modes: bool) -> str:
-    """'auto' strategy: sample the average element fan-out of the set
-    columns (bounded LIMIT scan — negligible next to the fold itself)
-    and pick 'arrays' for wide deltas, 'elements' for narrow ones."""
+#: if one key holds more than this share of the sampled batch, prefer
+#: the elements path: the arrays fold collects a key's whole change
+#: sequence into one task (memory ∝ hot-key events), while elements
+#: spreads a hot key across its (key, element) pairs
+AUTO_HOT_KEY_SHARE = 0.05
+
+
+def _pick_set_impl(
+    df: DataFrame,
+    set_cols: list[str],
+    has_other_modes: bool,
+    keys: list[str] | None = None,
+) -> str:
+    """'auto' strategy: sample the batch (bounded LIMIT scan — one tiny
+    job) for (a) average element fan-out and (b) the hottest key's share;
+    pick 'arrays' for wide deltas unless a hot key dominates."""
     if has_other_modes:
         return "elements"  # arrays path doesn't combine with map/udt yet
-    sizes = [
-        F.avg(
-            F.size(F.coalesce(F.col(c), F.array()))
-            + F.size(
-                F.coalesce(
-                    F.col(DELETED_ELEMS_PREFIX + c)
-                    if DELETED_ELEMS_PREFIX + c in df.columns
-                    else F.lit(None).cast("array<int>"),
-                    F.array(),
-                )
+    size_of = lambda c: (  # noqa: E731
+        F.size(F.coalesce(F.col(c), F.array()))
+        + F.size(
+            F.coalesce(
+                F.col(DELETED_ELEMS_PREFIX + c)
+                if DELETED_ELEMS_PREFIX + c in df.columns
+                else F.lit(None).cast("array<int>"),
+                F.array(),
             )
-        ).alias(c)
-        for c in set_cols
-    ]
-    row = df.limit(_AUTO_SAMPLE_ROWS).agg(*sizes).collect()[0]
-    fanouts = [row[c] for c in set_cols if row[c] is not None]
+        )
+    )
+    sample = df.limit(_AUTO_SAMPLE_ROWS)
+    if keys:
+        per_key = sample.groupBy(*keys).agg(
+            F.count("*").alias("__n"),
+            *[F.sum(size_of(c)).alias(c) for c in set_cols],
+        )
+        row = per_key.agg(
+            F.max("__n").alias("__max"),
+            F.sum("__n").alias("__tot"),
+            *[F.sum(c).alias(c) for c in set_cols],
+        ).collect()[0]
+        tot = row["__tot"] or 0
+        if tot and (row["__max"] or 0) / tot > AUTO_HOT_KEY_SHARE:
+            return "elements"
+        fanouts = [row[c] / tot for c in set_cols if row[c] is not None and tot]
+    else:
+        row = sample.agg(*[F.avg(size_of(c)).alias(c) for c in set_cols]).collect()[0]
+        fanouts = [row[c] for c in set_cols if row[c] is not None]
     fan = max(fanouts) if fanouts else 0.0
     return "arrays" if fan >= AUTO_FANOUT_THRESHOLD else "elements"
 

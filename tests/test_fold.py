@@ -75,3 +75,27 @@ def test_fold_golden_1m_events(spark):
                 hot_doc_frac=0.05)
     )
     check_fold_matches_oracle(spark, tbl, set_impl="auto")
+
+
+def test_auto_picks_elements_for_hot_key(spark):
+    """The 'auto' strategy must fall back to the elements path when one
+    key dominates the batch (the arrays fold would collect that key's
+    whole change sequence into a single task)."""
+    from scylla_cdc_rust_spark.functions.decode import decode
+    from scylla_cdc_rust_spark.operators.fold import resolve_set_impl
+    from tests.util import spark_df_from_arrow
+    from tests.scenarios import LogBuilder
+
+    hot = LogBuilder()
+    for i in range(300):  # one key holds ~97% of events
+        hot.add_tokens("whale", [i % 9, (i + 1) % 9, (i + 2) % 9, (i + 3) % 9])
+    for i in range(10):
+        hot.insert(f"d{i}", [1, 2, 3, 4])
+    df = decode(spark_df_from_arrow(spark, hot.build()))
+    assert resolve_set_impl(df, {"tokens": "set"}) == "elements"
+
+    even = LogBuilder()
+    for i in range(300):
+        even.add_tokens(f"d{i % 100}", [1, 2, 3, 4])
+    df2 = decode(spark_df_from_arrow(spark, even.build()))
+    assert resolve_set_impl(df2, {"tokens": "set"}) == "arrays"  # wide, no hot key
