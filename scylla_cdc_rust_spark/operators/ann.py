@@ -198,6 +198,85 @@ def train_ivf_centroids(
     return centroids
 
 
+def grid_centroids(dim: int, n_centroids: int, scale: float = 40.0) -> list[list[float]]:
+    """Deterministic, data-independent coarse-quantizer centroids — the
+    same integer-grid idiom as ``_hyperplane``, scaled to typical
+    unit-ish embedding magnitude.  Used when the quantizer must be
+    reproducible without seeing the data (oracle-checkable literals);
+    for data-adapted cells use ``train_ivf_centroids`` +
+    ``IVFQuantizer.save`` once, offline."""
+    return [
+        [(((j * 131 + d * 197) % 17) - 8) / scale for d in range(dim)]
+        for j in range(n_centroids)
+    ]
+
+
+class IVFQuantizer:
+    """Persistable IVF coarse quantizer: train once (offline), save the
+    k·dim centroids next to the index data, reuse across every query /
+    micro-batch.  At 10^10 rows the quantizer is index metadata — it
+    must never be retrained inside a query (train = iters+1 Spark jobs
+    + a driver collect); this class is the train-once/probe-many API
+    the per-call ``ivf_topk(centroids=None)`` path lacks."""
+
+    MANIFEST = "ivf_centroids.json"
+
+    def __init__(self, centroids: list[list[float]]):
+        if not centroids:
+            raise ValueError("empty centroid set")
+        self.centroids = [list(map(float, c)) for c in centroids]
+        self.n_centroids = len(centroids)
+        self.dim = len(centroids[0])
+
+    # -- constructors -----------------------------------------------------
+    @classmethod
+    def train(cls, df: DataFrame, dim: int, n_centroids: int = 16,
+              iters: int = 2, sample_mod: int | None = None,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> "IVFQuantizer":
+        return cls(train_ivf_centroids(
+            df, dim, n_centroids, iters, id_col=id_col, vec_col=vec_col,
+            sample_mod=sample_mod))
+
+    @classmethod
+    def grid(cls, dim: int, n_centroids: int, scale: float = 40.0) -> "IVFQuantizer":
+        return cls(grid_centroids(dim, n_centroids, scale))
+
+    # -- persistence (manifest-file pattern, cf. ParquetMergeTable) --------
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        tmp = os.path.join(path, self.MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"dim": self.dim, "n_centroids": self.n_centroids,
+                       "centroids": self.centroids}, f)
+        os.replace(tmp, os.path.join(path, self.MANIFEST))
+
+    @classmethod
+    def load(cls, path: str) -> "IVFQuantizer":
+        import json
+        import os
+
+        with open(os.path.join(path, cls.MANIFEST)) as f:
+            return cls(json.load(f)["centroids"])
+
+    # -- query-time ops (pure codegen over literal centroids) --------------
+    def assign(self, df: DataFrame, vec_col: str = "embedding",
+               out_col: str = "cell") -> DataFrame:
+        return df.withColumn(
+            out_col,
+            _nearest_cells(_as_double(F.col(vec_col)), self.centroids, 1)[0])
+
+    def topk(self, queries: DataFrame, candidates: DataFrame, k: int = 5,
+             nprobe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+        return ivf_topk(queries, candidates, dim=self.dim, k=k,
+                        n_centroids=self.n_centroids, nprobe=nprobe,
+                        id_col=id_col, vec_col=vec_col,
+                        centroids=self.centroids)
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,

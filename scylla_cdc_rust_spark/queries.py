@@ -1243,10 +1243,11 @@ p AS (
          CAST(floor((start_off + n_tok - 1) / 2048) AS BIGINT)   AS last_pack
   FROM offs
 )
-SELECT shard, count(*) AS n_docs, sum(n_tok) AS n_tokens,
-       max(last_pack) + 1 AS n_packs,
-       sum(CASE WHEN last_pack > first_pack THEN 1 ELSE 0 END) AS n_straddling,
-       (max(last_pack) + 1) * 2048 - sum(n_tok) AS tail_waste
+SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(max(last_pack) + 1 AS BIGINT) AS n_packs,
+       CAST(sum(CASE WHEN last_pack > first_pack THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_straddling,
+       CAST((max(last_pack) + 1) * 2048 - sum(n_tok) AS BIGINT) AS tail_waste
 FROM p GROUP BY shard
 """
 
@@ -1392,19 +1393,88 @@ FROM embeddings GROUP BY label
 
 
 def q_emb_ivf_topk(spark, sf_dir):
-    """IVF ANN (operators/ann.py ivf_topk): deterministic k-means coarse
-    quantizer, nprobe-cell probe, exact cosine inside probed cells — the
-    similarity-search scale path beside LSH.  Rows-only driver gate (the
-    iterative quantizer is not SQL-expressible); exactness is pinned by
-    pytest: nprobe == n_centroids reproduces brute force bit-for-bit."""
-    from scylla_cdc_rust_spark.operators.ann import ivf_topk, train_ivf_centroids
+    """IVF ANN probe path (operators/ann.py IVFQuantizer / ivf_topk):
+    candidates assigned to their nearest coarse cell, each query probes
+    its nprobe=3 nearest cells, exact cosine inside probed cells — the
+    similarity-search scale path beside LSH.  The quantizer here is the
+    pinned deterministic grid (``IVFQuantizer.grid``): at 10^10 rows the
+    quantizer is *index metadata* trained once offline and persisted
+    (``IVFQuantizer.save``/``load``), never retrained per query — so the
+    gate checks the probe machinery against a full DuckDB oracle
+    (cell argmin + nprobe + cosine top-k) with the same centroid
+    literals on both sides.  K-means *training* determinism is pinned by
+    pytest (nprobe == n_centroids ≡ brute force; train-once/probe-many
+    equality via save/load)."""
+    from scylla_cdc_rust_spark.operators.ann import IVFQuantizer
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(e.select("embedding").first()["embedding"])
     q = e.where(F.col("vec_id") < 5)
     c = e.where(F.col("vec_id") >= 5)
-    cents = train_ivf_centroids(c, dim, n_centroids=8, sample_mod=4)
-    return ivf_topk(q, c, dim=dim, k=5, n_centroids=8, nprobe=3, centroids=cents)
+    quant = IVFQuantizer.grid(dim=64, n_centroids=8)
+    out = quant.topk(q, c, k=5, nprobe=3)
+    return out.select("qid", "cid", "cos", F.col("rank").cast("int").alias("rank"))
+
+
+def _sql_emb_ivf_topk() -> str:
+    """DuckDB oracle for q_emb_ivf_topk: identical grid-centroid
+    literals, identical left-fold float arithmetic (list_reduce over
+    generate_series mirrors Spark's zip_with+aggregate), argmin cell by
+    (distance, cell) just like ann._nearest_cells' array_sort."""
+    from scylla_cdc_rust_spark.operators.ann import grid_centroids
+
+    cents = grid_centroids(dim=64, n_centroids=8)
+    values = ",\n    ".join(
+        f"({j}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for j, c in enumerate(cents)
+    )
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), {terms}), (a, x) -> a + x)"
+    )
+    sqdist = fold.format(
+        terms="list_transform(generate_series(1, len(v)),"
+        " i -> (v[i] - cv_c[i]) * (v[i] - cv_c[i]))"
+    )
+    dot = fold.format(
+        terms="list_transform(generate_series(1, len(qv)), i -> qv[i] * cv[i])"
+    )
+    nq = "sqrt(" + fold.format(terms="list_transform(qv, x -> x * x)") + ")"
+    nc = "sqrt(" + fold.format(terms="list_transform(cv, x -> x * x)") + ")"
+    return f"""
+WITH cent AS (
+  SELECT * FROM (VALUES
+    {values}) AS t(cell, cv_c)
+),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+dist AS (
+  SELECT vec_id, cell, {sqdist} AS d
+  FROM e, cent
+),
+rc AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+  FROM dist
+),
+cand AS (SELECT e.vec_id AS cid, e.v AS cv, rc.cell
+         FROM e JOIN rc ON e.vec_id = rc.vec_id AND rc.rn = 1
+         WHERE e.vec_id >= 5),
+qry AS (SELECT e.vec_id AS qid, e.v AS qv, rc.cell
+        FROM e JOIN rc ON e.vec_id = rc.vec_id AND rc.rn <= 3
+        WHERE e.vec_id < 5),
+scored AS (
+  SELECT qid, cid, round({dot} / ({nq} * {nc}), 6) AS cos
+  FROM qry JOIN cand USING (cell)
+),
+ranked AS (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+  FROM scored
+)
+SELECT qid, cid, cos, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+SQL_EMB_IVF_TOPK = _sql_emb_ivf_topk()
 
 
 # ===========================================================================
@@ -1653,6 +1723,7 @@ ORACLE_SQL = {
     "doc_pack_offsets": SQL_DOC_PACK_OFFSETS,
     "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
     "emb_lsh_buckets": SQL_EMB_LSH_BUCKETS,
+    "emb_ivf_topk": SQL_EMB_IVF_TOPK,
     "emb_binary_meta": SQL_EMB_BINARY_META,
 }
 

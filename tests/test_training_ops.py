@@ -127,6 +127,49 @@ def test_ivf_centroids_deterministic(spark, embs):
     assert a == b
 
 
+def test_ivf_quantizer_train_once_probe_many(spark, embs, tmp_path):
+    """The 100 TB contract: train the quantizer ONCE, persist it, and
+    every later probe (fresh load, different query batch) must equal a
+    probe with the in-memory trained quantizer — no retraining cost and
+    no drift through the save/load round-trip."""
+    from scylla_cdc_rust_spark.operators.ann import IVFQuantizer
+
+    dim = len(embs.select("embedding").first()["embedding"])
+    c = embs.where(F.col("vec_id") >= 4)
+    trained = IVFQuantizer.train(c, dim, n_centroids=6)
+    store = str(tmp_path / "ivf_index")
+    trained.save(store)
+    loaded = IVFQuantizer.load(store)
+    assert loaded.centroids == trained.centroids
+    assert (loaded.dim, loaded.n_centroids) == (dim, 6)
+    for lo, hi in ((0, 2), (2, 4)):  # two independent query micro-batches
+        q = embs.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        got = {
+            (r["qid"], r["rank"]): (r["cid"], r["cos"])
+            for r in loaded.topk(q, c, k=5, nprobe=3).collect()
+        }
+        want = {
+            (r["qid"], r["rank"]): (r["cid"], r["cos"])
+            for r in trained.topk(q, c, k=5, nprobe=3).collect()
+        }
+        assert got == want and len(got) == 2 * 5
+
+
+def test_ivf_grid_quantizer_assignment_covers_cells(spark, embs):
+    """The pinned grid quantizer (driver-gate path) must produce a
+    non-degenerate cell partition: every vector assigned exactly one
+    cell in range, more than one cell populated."""
+    from scylla_cdc_rust_spark.operators.ann import IVFQuantizer
+
+    quant = IVFQuantizer.grid(dim=64, n_centroids=8)
+    assigned = quant.assign(embs)
+    n = embs.count()
+    cells = assigned.groupBy("cell").count().collect()
+    assert sum(r["count"] for r in cells) == n
+    assert all(0 <= r["cell"] < 8 for r in cells)
+    assert len(cells) > 1
+
+
 def test_embedding_hot_bucket_guard(spark):
     from scylla_cdc_rust_spark.operators.ann import embedding_near_dups
 
