@@ -113,6 +113,14 @@ def replay_only(cores: int, log_path: str) -> None:
         warm = generate_log(LogSpec(n_events=150_000, n_docs=20_000, seed=1))
         write_log(warm, os.path.join(tmp, "warm"), files_per_epoch=cores)
         run_replay(spark, os.path.join(tmp, "warm"), tmp, "warm")
+        # optional start barrier: concurrent multi-JVM A/B runs line up
+        # their measured phases here (benchmarks/multi_jvm_ab.py)
+        bdir = os.environ.get("BENCH_BARRIER_DIR")
+        if bdir:
+            need = int(os.environ.get("BENCH_BARRIER_N", "2"))
+            open(os.path.join(bdir, f"ready.{os.getpid()}"), "w").close()
+            while sum(f.startswith("ready.") for f in os.listdir(bdir)) < need:
+                time.sleep(0.5)
         # best-of-N: the sandbox host has high run-to-run variance
         reps = int(os.environ.get("BENCH_REPLAY_REPS", "2"))
         mode = os.environ.get("BENCH_TOKENS_MODE", "list")

@@ -21,8 +21,15 @@ class CDCPipelineConfig:
     # windowing (reference defaults: log_reader.rs:40-44; seconds → ms)
     window_size_ms: int = 60_000
     safety_interval_ms: int = 30_000
+    sleep_interval_ms: int = 10_000  # poll cadence of the tailing loop
     start_timestamp_ms: int = 0
     end_timestamp_ms: int | None = None  # stop_at (log_reader.rs:60-69)
+
+    # progress persistence (log_reader.rs should_save/load_progress):
+    # save = write watermarks as windows apply; load = honor existing
+    # watermarks on startup.  Independent flags like the reference.
+    save_progress: bool = True
+    load_progress: bool = True
 
     # layout / scale knobs
     num_shuffle_partitions: int = 32
@@ -61,16 +68,20 @@ class CDCLogReaderBuilder:
     - ``consumer_factory`` is only needed for the custom-consumer path
       (operators.consumer_api.consume_streams) — the replicator
       semantics are the default pipeline;
-    - ``should_save_progress`` maps to tracking watermarks; the engine
+    - ``should_save_progress`` / ``should_load_progress`` are carried
+      as independent flags (cfg.save_progress / cfg.load_progress),
+      exactly the reference semantics: load=False ignores existing
+      checkpoints, save=False never persists new ones.  The engine
       saves per micro-batch (strictly stronger than
       ``pause_between_saves``, checkpoints.rs:32-60), so that knob and
       ``checkpoint_saver`` are accepted for signature parity and
       realized by the watermark store itself.
+    - ``sleep_interval`` is carried as cfg.sleep_interval_ms and feeds
+      ``run_continuous``'s trigger cadence.
     """
 
     def __init__(self) -> None:
         self._cfg = CDCPipelineConfig()
-        self._save_progress = True
 
     # --- source identity (session/keyspace/table → log path) ---
     def log_path(self, path: str) -> "CDCLogReaderBuilder":
@@ -101,15 +112,15 @@ class CDCLogReaderBuilder:
         return self
 
     def sleep_interval(self, ms: int) -> "CDCLogReaderBuilder":
-        self._sleep_ms = ms  # poll interval for run_continuous
+        self._cfg.sleep_interval_ms = ms  # run_continuous poll cadence
         return self
 
     def should_save_progress(self, value: bool) -> "CDCLogReaderBuilder":
-        self._save_progress = value
+        self._cfg.save_progress = value
         return self
 
     def should_load_progress(self, value: bool) -> "CDCLogReaderBuilder":
-        self._save_progress = self._save_progress or value
+        self._cfg.load_progress = value
         return self
 
     def pause_between_saves(self, _ms: int) -> "CDCLogReaderBuilder":
@@ -136,6 +147,4 @@ class CDCLogReaderBuilder:
         if not self._cfg.log_path:
             raise ValueError("log_path is required (the reference errors the "
                              "same way on a missing table, log_reader.rs:486-510)")
-        if not self._save_progress:
-            self._cfg.watermark_path = ""
         return self._cfg

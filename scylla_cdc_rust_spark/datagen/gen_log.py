@@ -99,12 +99,6 @@ def generate_log(spec: LogSpec) -> pa.Table:
     ms_idx = batch_id // 4
     time_ms = T0_MS + ms_idx * 1_000
     time_seq = (batch_id % 4).astype(np.int64)
-    # batch_seq_no within batch (consumer.rs:163)
-    starts = np.zeros(n_batches, dtype=np.int64)
-    np.cumsum(blens[:-1], out=starts[1:])
-    batch_seq = (np.arange(n) - starts[batch_id]).astype(np.int32)
-    end_of_batch = np.zeros(n, dtype=bool)
-    end_of_batch[np.append(starts[1:] - 1, n - 1)] = True
 
     # --- epochs: contiguous time slices (generation = one epoch) ---
     max_ms_idx = int(ms_idx[-1]) + 1
@@ -123,6 +117,22 @@ def generate_log(spec: LogSpec) -> pa.Table:
     stream_id = pa.FixedSizeBinaryArray.from_buffers(
         pa.binary(16), n, [None, pa.py_buffer(sid.tobytes())]
     ).cast(pa.binary())
+
+    # batch_seq_no / end_of_batch PER STREAM (consumer.rs:163-164): a
+    # multi-partition write batch appears in each touched stream's log
+    # as its own contiguous 0..k batch with end_of_batch on the last row
+    # — rows of one generator batch go to the stream of their doc, so
+    # renumber within (batch, stream) groups, preserving event order
+    gkey = batch_id.astype(np.int64) * spec.n_streams + bucket
+    order = np.argsort(gkey, kind="stable")
+    sorted_k = gkey[order]
+    starts = np.r_[0, np.flatnonzero(np.diff(sorted_k)) + 1]
+    glens = np.diff(np.r_[starts, n])
+    ranks_sorted = np.arange(n) - np.repeat(starts, glens)
+    batch_seq = np.empty(n, dtype=np.int32)
+    batch_seq[order] = ranks_sorted.astype(np.int32)
+    end_of_batch = np.zeros(n, dtype=bool)
+    end_of_batch[order[np.r_[starts[1:] - 1, n - 1]]] = True
 
     # --- op kinds → raw cdc$operation codes ---
     kind_idx = rng.choice(len(OP_KINDS), size=n, p=OP_WEIGHTS)

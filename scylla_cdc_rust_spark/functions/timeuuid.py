@@ -48,32 +48,99 @@ def timeuuid_to_us(b: pd.Series) -> pd.Series:
 @F.pandas_udf(T.StructType([
     T.StructField("ms", T.LongType()),
     T.StructField("seq", T.LongType()),
+    T.StructField("clock_seq", T.LongType()),
 ]))
 def timeuuid_to_ms_seq(b: pd.Series) -> pd.DataFrame:
-    """timeuuid bytes → (ms since epoch, tie-break seq).
+    """timeuuid bytes → (ms since epoch, tie-break seq, clock sequence).
 
-    seq = sub-millisecond 100ns ticks (0..9999) concatenated with the
-    14-bit clock sequence — preserves the timeuuid total order within a
-    stream when packed under cdc_time_seq (< 2^14 after masking to the
-    clock-seq alone is NOT order-preserving; the tick remainder is the
-    significant part, so it leads).
+    seq = sub-millisecond 100ns ticks (0..9999 < 2^14) — together with
+    ms this reconstructs the full 60-bit v1 timestamp, the leading
+    component of the reference's timeuuid clustering order
+    (consumer.rs:193-194).  clock_seq is the 14-bit field from bytes
+    8-9 (variant bits masked): the reference compares it AFTER the
+    timestamp, so it only matters when two changes in one stream share
+    the exact 100ns tick.  ord (decode.pack_ord_col) cannot carry it —
+    40ms+14seq+14clock+8batch = 76 bits > one signed long — so the
+    ingest shim surfaces it as a column and ``with_decoded_timeuuid``'s
+    strict mode FAILS LOUDLY if any (stream, tick) carries two distinct
+    clock sequences, instead of silently mis-ordering (or assuming
+    per-node monotonic generators, which real multi-coordinator logs
+    need not satisfy).
     """
     arr = np.frombuffer(b"".join(b.to_numpy()), dtype=np.uint8).reshape(-1, 16)
     ticks = _ticks_from_bytes(b)
     unix_ticks = ticks - GREGORIAN_OFFSET_100NS
     ms = unix_ticks // 10_000
-    rem = (unix_ticks % 10_000).astype(np.int64)  # 0..9999 → fits 14 bits? no: 13.3
-    # (rem < 2^14 = 16384 ✓) — clock seq used only as a final tie-break is
-    # dropped here because two uuids with equal 100ns tick from one stream
-    # cannot occur (the generator is per-node monotonic)
-    return pd.DataFrame({"ms": ms.astype("int64"), "seq": rem})
+    rem = (unix_ticks % 10_000).astype(np.int64)
+    clock_seq = (
+        ((arr[:, 8].astype(np.int64) & 0x3F) << 8) | arr[:, 9].astype(np.int64)
+    )
+    return pd.DataFrame(
+        {"ms": ms.astype("int64"), "seq": rem, "clock_seq": clock_seq}
+    )
 
 
-def with_decoded_timeuuid(df, uuid_col: str = "cdc$time"):
-    """Attach cdc_time_ms / cdc_time_seq decoded from a timeuuid column."""
+class TimeuuidOrderError(RuntimeError):
+    """Two changes in one stream share the 100ns tick but differ in
+    clock sequence — the packed ord cannot represent the reference's
+    full-timeuuid order (consumer.rs:193-194) for them."""
+
+
+def assert_no_clockseq_collisions(df, stream_col: str | None = None) -> None:
+    """Fail fast if the full-timeuuid order is not representable.
+
+    One aggregation over the ingest window: group by (stream, ms, seq)
+    and compare min/max clock_seq — map-side combinable min/max, so the
+    check shuffles only one row per distinct tick, never the payload.
+    Raises ``TimeuuidOrderError`` naming the first offending tick.
+    """
+    from scylla_cdc_rust_spark.model import STREAM_ID, TIME_MS, TIME_SEQ
+
+    stream_col = stream_col or STREAM_ID
+    if stream_col not in df.columns:
+        # no stream column ⇒ the window is a single stream's read
+        # (stream_reader.rs reads one stream at a time) — compare ticks
+        # globally, which is exactly the per-stream rule then
+        stream = F.lit("<single-stream>")
+    else:
+        stream = F.col(f"`{stream_col}`")
+    bad = (
+        df.groupBy(stream.alias("__stream"), F.col(TIME_MS), F.col(TIME_SEQ))
+        .agg(
+            F.min("cdc_clock_seq").alias("lo"),
+            F.max("cdc_clock_seq").alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .first()
+    )
+    if bad is not None:
+        raise TimeuuidOrderError(
+            f"stream {bad[0]!r} tick (ms={bad[1]}, seq={bad[2]}) carries "
+            f"clock sequences {bad['lo']} and {bad['hi']}; packed ord would "
+            "collapse their order — ingest aborted (reference order is the "
+            "full timeuuid, consumer.rs:193-194)"
+        )
+
+
+def with_decoded_timeuuid(df, uuid_col: str = "cdc$time", strict: bool = True):
+    """Attach cdc_time_ms / cdc_time_seq / cdc_clock_seq decoded from a
+    timeuuid column.  ``strict`` (default) runs the clock-seq collision
+    guard eagerly: logs where the tick alone is not a total order per
+    stream are rejected rather than silently reordered."""
     from scylla_cdc_rust_spark.model import TIME_MS, TIME_SEQ
 
-    dec = timeuuid_to_ms_seq(F.col(uuid_col))
-    return df.withColumn("__tu", dec).withColumns(
-        {TIME_MS: F.col("__tu.ms"), TIME_SEQ: F.col("__tu.seq")}
-    ).drop("__tu")
+    dec = timeuuid_to_ms_seq(F.col(f"`{uuid_col}`"))
+    out = (
+        df.withColumn("__tu", dec)
+        .withColumns(
+            {
+                TIME_MS: F.col("__tu.ms"),
+                TIME_SEQ: F.col("__tu.seq"),
+                "cdc_clock_seq": F.col("__tu.clock_seq"),
+            }
+        )
+        .drop("__tu")
+    )
+    if strict:
+        assert_no_clockseq_collisions(out)
+    return out

@@ -114,10 +114,33 @@ def lsh_topk(
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
     if max_candidates_per_bucket:
+        # Skew-free two-stage cap: (1) broadcast the over-cap bucket
+        # counts (groupBy count — map-side combinable) and hash-mod thin
+        # each such bucket to ~2×cap expected survivors; (2) exact
+        # row_number within the thinned set.  The window/sort task then
+        # touches O(cap) rows per bucket no matter how degenerate the
+        # bucket — a mega-bucket never funnels through one sort task.
+        cap = max_candidates_per_bucket
+        hot = (
+            c.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > cap)
+        )
+        thin_mod = F.greatest(
+            F.lit(1), F.floor(F.col("__n") / F.lit(2 * cap)).cast("long")
+        )
+        c = (
+            c.join(F.broadcast(hot), "bucket", "left")
+            .where(
+                F.col("__n").isNull()
+                | (F.pmod(F.xxhash64("cid"), thin_mod) == 0)
+            )
+            .drop("__n")
+        )
         wcap = W.partitionBy("bucket").orderBy(F.xxhash64("cid"), F.asc("cid"))
         c = (
             c.withColumn("__rn", F.row_number().over(wcap))
-            .where(F.col("__rn") <= max_candidates_per_bucket)
+            .where(F.col("__rn") <= cap)
             .drop("__rn")
         )
     scored = q.join(c, "bucket").select(

@@ -155,26 +155,56 @@ class ReplayConsumer(Consumer):
     row-oriented reference shape, kept as a VERIFICATION-tier
     cross-check of the declarative fold (see queries.QUERY_TIERS) and
     as the template for custom stateful consumers.  Supports all
-    collection modes: atomic/list, set, map, list_delta, udt."""
+    collection modes: atomic/list, set, map, list_delta, udt.
 
-    def __init__(self, key: str = "doc_id", collection_modes: dict | None = None):
-        self.key = key
+    ``key`` may be a composite (pk…, ck…) list; ``partition_key`` names
+    its pk prefix, in which case PARTITION_DELETE kills every state row
+    sharing that prefix — the A5 general form (delete_partition,
+    replicator_consumer.rs:392-402; replication_tests.rs:705-777),
+    matching fold.partition_tombstones so the two tiers can cross-check
+    composite-key partition deletes."""
+
+    def __init__(
+        self,
+        key: str | list[str] = "doc_id",
+        collection_modes: dict | None = None,
+        partition_key: str | list[str] | None = None,
+    ):
+        self.keys = [key] if isinstance(key, str) else list(key)
         self.modes = collection_modes or {"tokens": "set"}
-        self.state: dict[str, dict] = {}
+        self.state: dict[tuple, dict] = {}
         self.payload: list[str] = []
+        if partition_key is None:
+            self.pk_idx: list[int] | None = None
+        else:
+            pks = [partition_key] if isinstance(partition_key, str) else list(partition_key)
+            missing = [p for p in pks if p not in self.keys]
+            if missing:
+                raise ValueError(f"partition_key {missing} not part of key {self.keys}")
+            self.pk_idx = [self.keys.index(p) for p in pks]
 
     def consume_batch(self, pdf: pd.DataFrame) -> None:
         payload = [
             c
             for c in pdf.columns
             if not c.startswith("cdc$")
-            and c not in (self.key, OP_NORM, ORD, "is_expiration", "epoch",
-                          "cdc_time_ms", "cdc_time_seq", "stream_bucket")
+            and c not in (*self.keys, OP_NORM, ORD, "is_expiration", "epoch",
+                          "cdc_time_ms", "cdc_time_seq", "cdc_clock_seq",
+                          "end_of_batch", "stream_bucket", "time_bucket")
         ]
         self.payload = payload
         for d in pdf.sort_values(ORD).to_dict("records"):
             op = int(d[OP_NORM])
-            k = d[self.key]
+            k = tuple(d[kc] for kc in self.keys)
+            if op == OperationType.PARTITION_DELETE and self.pk_idx is not None:
+                # A5 general form: kill every clustering row of the pk
+                pk = tuple(k[i] for i in self.pk_idx)
+                for victim in [
+                    s for s in self.state
+                    if tuple(s[i] for i in self.pk_idx) == pk
+                ]:
+                    del self.state[victim]
+                continue
             if op in _D:
                 self.state.pop(k, None)
                 continue
@@ -286,14 +316,14 @@ class ReplayConsumer(Consumer):
         for k, row in self.state.items():
             if not (row["marker"] or any(v is not None for v in row["cells"].values())):
                 continue
-            rec = {self.key: k}
+            rec = dict(zip(self.keys, k))
             for c in self.payload:
                 rec[c] = self._present(c, row["cells"].get(c))
             rec["ttl"] = row["ttl"]
             rec["last_ord"] = row["last_ord"]
             rows.append(rec)
         return pd.DataFrame(
-            rows, columns=[self.key, *self.payload, "ttl", "last_ord"]
+            rows, columns=[*self.keys, *self.payload, "ttl", "last_ord"]
         )
 
 
@@ -301,7 +331,8 @@ def replay_consumer_fold(
     decoded: DataFrame,
     collection_modes: dict | None = None,
     output_schema: str | T.StructType = REPLAY_SCHEMA,
-    key: str = "doc_id",
+    key: str | list[str] = "doc_id",
+    partition_key: str | list[str] | None = None,
 ) -> DataFrame:
     """The full log folded by sequential consumers (reference-shaped path).
 
@@ -315,6 +346,8 @@ def replay_consumer_fold(
     this function alone would emit one row per (generation, key)."""
     return consume_streams(
         decoded,
-        lambda _sid: ReplayConsumer(key=key, collection_modes=collection_modes),
+        lambda _sid: ReplayConsumer(
+            key=key, collection_modes=collection_modes, partition_key=partition_key
+        ),
         output_schema,
     )

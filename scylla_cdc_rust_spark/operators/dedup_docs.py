@@ -42,15 +42,29 @@ def cap_buckets(
     because a mega-bucket at 100 TB is (a) boilerplate whose members are
     mutual near-dups anyway (any survivor set is equivalent), or (b) a
     hash-collision pathology that exact verification would reject.
+
+    The guard itself is skew-free: bucket sizes come from a map-side
+    combinable groupBy count, and only the OVER-CAP buckets (a tiny
+    set by construction) are broadcast back — a mega-bucket's members
+    never funnel through one window/sort task just to be counted.
     """
-    w = Window.partitionBy(*bucket_cols)
-    n = F.count("*").over(w)
-    nsub = F.ceil(n / F.lit(max_bucket_size))
-    return buckets.withColumn(
-        "__sub",
-        F.when(n > max_bucket_size, F.pmod(F.xxhash64(member_col), nsub))
-        .otherwise(F.lit(0))
-        .cast("int"),
+    hot = (
+        buckets.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > max_bucket_size)
+    )
+    nsub = F.ceil(F.col("__n") / F.lit(max_bucket_size))
+    return (
+        buckets.join(F.broadcast(hot), bucket_cols, "left")
+        .withColumn(
+            "__sub",
+            F.when(
+                F.col("__n").isNotNull(), F.pmod(F.xxhash64(member_col), nsub)
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .drop("__n")
     )
 
 #: (a, b) parameters for the minhash permutation family

@@ -117,7 +117,16 @@ def replay(
     table = ParquetMergeTable(
         spark, cfg.target_path, num_buckets=cfg.target_num_buckets, key=key
     )
-    wm = WatermarkStore(spark, cfg.watermark_path) if (cfg.watermark_path and track_watermarks) else None
+    wm = (
+        WatermarkStore(
+            spark, cfg.watermark_path,
+            save=cfg.save_progress, load=cfg.load_progress,
+        )
+        if cfg.watermark_path
+        and track_watermarks
+        and (cfg.save_progress or cfg.load_progress)
+        else None
+    )
 
     # generation discovery: epochs present in the log (partition listing —
     # the analog of scanning cdc_generation_timestamps, stream_generations.rs:136-144)

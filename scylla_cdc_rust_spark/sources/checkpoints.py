@@ -47,16 +47,29 @@ class WatermarkStore:
     persist snapshots and to broadcast the filter, never to re-read the
     authoritative state within a run."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        save: bool = True,
+        load: bool = True,
+    ):
+        """``save``/``load`` mirror the reference builder's independent
+        should_save_progress / should_load_progress flags
+        (log_reader.rs:438-459): load=False ignores checkpoints on disk
+        (fresh start), save=False keeps watermarks in memory for the
+        run's own resume math but never persists them."""
         self.spark = spark
         self.path = path
+        self.save_enabled = save
+        self.load_enabled = load
         self._state: dict[bytes, tuple] | None = None  # sid → (gen, t, batch, n)
         os.makedirs(path, exist_ok=True)
 
     def _load_state(self) -> dict[bytes, tuple]:
         if self._state is None:
             self._state = {}
-            df = self.load()
+            df = self.load() if self.load_enabled else None
             if df is not None:
                 for r in df.collect():
                     self._state[bytes(r["stream_id"])] = (
@@ -168,6 +181,11 @@ class WatermarkStore:
             batch_id,
             (g[3] if g else 0),
         )
+        if not self.save_enabled:
+            # in-memory advance only (should_save_progress(false)):
+            # intra-run resume math still works, nothing persisted
+            self._state = prev
+            return self.version() or 0
         rows = [
             (sid, int(v[0]), None if v[1] is None else int(v[1]), int(v[2]), int(v[3]))
             for sid, v in prev.items()

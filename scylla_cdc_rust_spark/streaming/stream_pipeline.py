@@ -55,7 +55,10 @@ class StreamingReplay:
         self.table = ParquetMergeTable(
             spark, cfg.target_path, num_buckets=cfg.target_num_buckets, key=key
         )
-        self.wm = WatermarkStore(spark, cfg.watermark_path)
+        self.wm = WatermarkStore(
+            spark, cfg.watermark_path,
+            save=cfg.save_progress, load=cfg.load_progress,
+        )
         self.frontier_ms: int | None = None  # max event time seen
         self.floor_ms: int | None = None  # next window begin
         #: end of the skewed-resume catch-up span (max per-stream floor);
@@ -158,7 +161,7 @@ class StreamingReplay:
             .parquet(self.cfg.log_path)
         )
 
-    def run_continuous(self, poll_interval_s: float = 10.0):
+    def run_continuous(self, poll_interval_s: float | None = None):
         """Unbounded tailing mode — the reference's primary loop
         (CDCLogReader polling every sleep_interval for new windows,
         log_reader.rs:116-236; default interval log_reader.rs:40-44).
@@ -167,6 +170,9 @@ class StreamingReplay:
         the StreamingQuery — call ``.stop()`` (graceful stop, R4) or
         rely on ``cfg.end_timestamp_ms`` (stop_at) which freezes applies
         past the bound while the query keeps polling."""
+        if poll_interval_s is None:
+            # builder's sleep_interval (log_reader.rs:40-44 default)
+            poll_interval_s = self.cfg.sleep_interval_ms / 1000.0
         return (
             self._source()
             .writeStream.foreachBatch(self._on_batch)
@@ -206,7 +212,10 @@ def run_streaming_epochs(
     from scylla_cdc_rust_spark.sources.log_source import epochs_present
 
     epochs = epochs_present(cfg.log_path) or [0]
-    wm = WatermarkStore(spark, cfg.watermark_path)
+    wm = WatermarkStore(
+        spark, cfg.watermark_path,
+        save=cfg.save_progress, load=cfg.load_progress,
+    )
     start_gen = wm.last_generation()
     total = 0
     for ep in epochs:

@@ -241,6 +241,75 @@ def test_partition_delete_with_set_column(spark, tmp_path):
     assert got == {(0, 0): [9], (1, 0): [7]}
 
 
+CONSUMER_SCHEMA = "pk int, ck int, v int, ttl long, last_ord long"
+
+
+def consumer_run(spark, tbl, tmp):
+    from scylla_cdc_rust_spark.operators.consumer_api import replay_consumer_fold
+
+    df = decode(spark_df_via_parquet(spark, tbl, tmp))
+    out = replay_consumer_fold(
+        df, collection_modes={}, output_schema=CONSUMER_SCHEMA,
+        key=KEYS, partition_key="pk",
+    )
+    return {(r["pk"], r["ck"]): r["v"] for r in out.collect()}
+
+
+def test_consumer_partition_delete_composite_key(spark, tmp_path):
+    """ReplayConsumer (verification tier) must apply the A5 general form
+    too: PARTITION_DELETE pops every state key sharing the pk prefix,
+    matching fold.partition_tombstones (replication_tests.rs:705-777)."""
+    b = (
+        CompositeLog()
+        .insert(0, 0, 0)
+        .insert(0, 1, 1)
+        .insert(1, 0, 9)
+        .delete_partition(0)
+        .insert(0, 2, 5)  # later write under the deleted pk survives
+    )
+    tbl = b.build().drop_columns(["pk2"])
+    got = consumer_run(spark, tbl, tmp_path / "c")
+    assert got == {(1, 0): 9, (0, 2): 5}
+    # and it must equal the declarative fold on the same log
+    assert got == run(spark, b, tmp_path / "f")
+
+
+@pytest.mark.parametrize("seed", [83, 84])
+def test_consumer_vs_fold_partition_delete_fuzz(spark, tmp_path, seed):
+    """Cross-check the two tiers on random composite-key logs that
+    include partition deletes: sequential consumer state machine ==
+    declarative fold == sequential oracle."""
+    import random
+
+    from scylla_cdc_rust_spark.datagen.oracle import oracle_replay
+
+    rng = random.Random(seed)
+    b = CompositeLog()
+    for _ in range(400):
+        pk, ck = rng.randint(0, 5), rng.randint(0, 3)
+        roll = rng.random()
+        if roll < 0.4:
+            b.insert(pk, ck, rng.randint(0, 99))
+        elif roll < 0.7:
+            b.update(pk, ck, v=rng.randint(0, 99) if rng.random() < 0.8 else None,
+                     del_v=rng.random() < 0.2)
+        elif roll < 0.85:
+            b.delete_row(pk, ck)
+        else:
+            b.delete_partition(pk)
+    tbl = b.build().drop_columns(["pk2"])
+
+    got_consumer = consumer_run(spark, tbl, tmp_path / "c")
+    got_fold = run(spark, b, tmp_path / "f")
+    want = {
+        k: rec["v"]
+        for k, rec in oracle_replay(
+            tbl, key=KEYS, collection_modes={}, partition_key="pk"
+        ).items()
+    }
+    assert got_consumer == got_fold == want
+
+
 @pytest.mark.parametrize("seed", [81, 82])
 def test_composite_key_fuzz(spark, tmp_path, seed):
     """Randomized composite-key interleavings (writes, column deletes,
