@@ -53,6 +53,7 @@ IMAGE_OPS = (OperationType.PRE_IMAGE, OperationType.POST_IMAGE)
 # ---------------------------------------------------------------------------
 
 STREAM_ID = "cdc$stream_id"
+TIME_UUID = "cdc$time"  # raw v1 timeuuid bytes (consumer.rs:193-194)
 TIME_MS = "cdc_time_ms"  # timeuuid surrogate: ms since epoch (FIXTURES.md §2)
 TIME_SEQ = "cdc_time_seq"  # timeuuid surrogate: tie-break sequence
 BATCH_SEQ = "cdc$batch_seq_no"
@@ -70,7 +71,8 @@ IS_EXPIRATION = "is_expiration"  # raw op < 0 (consumer.rs:200-202)
 ORD = "ord"  # packed total-order key (see pack_ord)
 
 METADATA_COLS = frozenset(
-    {STREAM_ID, TIME_MS, TIME_SEQ, BATCH_SEQ, END_OF_BATCH, OPERATION, TTL, EPOCH}
+    {STREAM_ID, TIME_UUID, TIME_MS, TIME_SEQ, BATCH_SEQ, END_OF_BATCH,
+     OPERATION, TTL, EPOCH}
 )
 
 # ord packing: strictly-increasing per stream by construction
@@ -153,7 +155,8 @@ class CDCSchema:
         }
         payload = {}
         metadata = []
-        derived = {OP_NORM, IS_EXPIRATION, ORD, "stream_bucket", "time_bucket", "__salt"}
+        derived = {OP_NORM, IS_EXPIRATION, ORD, "end_of_batch", "cdc_clock_seq",
+                   "stream_bucket", "time_bucket", "__salt"}
         for c in columns:
             if c in METADATA_COLS or c in derived:
                 metadata.append(c)

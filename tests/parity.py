@@ -74,4 +74,19 @@ def compare_query(spark, sf_dir: str, spark_fn, sql: str) -> str | None:
     for i, (a, b) in enumerate(zip(sn, dn)):
         if a != b:
             return f"row {i} differs (cols {sc}):\n  spark={a}\n  duck ={b}"
+        # the driver hashes raw pandas values, where 5616 (int64) and
+        # 5616.0 (float, from DuckDB HUGEINT sums) hash DIFFERENTLY even
+        # though == holds — the round-2 doc_pack_offsets failure mode.
+        # Catch int-vs-float dtype drift per cell, not just equality.
+        for j, (x, y) in enumerate(zip(a, b)):
+            if isinstance(x, bool) != isinstance(y, bool) or (
+                isinstance(x, float) != isinstance(y, float)
+                and isinstance(x, (int, float))
+                and isinstance(y, (int, float))
+            ):
+                return (
+                    f"row {i} col {sc[j]} dtype drift (driver hash would "
+                    f"differ): spark={x!r} ({type(x).__name__}) "
+                    f"duck={y!r} ({type(y).__name__})"
+                )
     return None

@@ -195,3 +195,103 @@ def test_builder_facade(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="log_path"):
         CDCLogReaderBuilder().build()
+
+    # sleep_interval is carried into the config (feeds run_continuous)
+    cfg2 = (
+        CDCLogReaderBuilder()
+        .log_path(os.path.join(tmp, "log"))
+        .sleep_interval(2_500)
+        .should_save_progress(False)
+        .should_load_progress(True)
+        .build()
+    )
+    assert cfg2.sleep_interval_ms == 2_500
+    # save/load are independent flags (log_reader.rs:438-459) — setting
+    # load must NOT silently re-enable save
+    assert cfg2.save_progress is False and cfg2.load_progress is True
+
+
+def test_progress_flags_save_and_load_semantics(spark, tmp_path):
+    """should_save_progress(False): replay applies but persists no
+    watermarks, so a rerun re-applies (idempotent merge keeps state
+    right).  should_load_progress(False): saved watermarks are ignored
+    — the rerun replays from scratch."""
+    import os
+
+    tmp = str(tmp_path)
+    tbl = generate_log(LogSpec(n_events=2_000, n_docs=100, seed=61))
+    cfg = make_cfg(tmp, tbl)
+
+    # save disabled → no _VERSION written, rerun sees no progress
+    cfg.save_progress = False
+    replay(spark, cfg, MODES)
+    assert not os.path.exists(os.path.join(cfg.watermark_path, "_VERSION"))
+    s1 = visible_state(spark, cfg)
+    assert_state_equal(s1, oracle_replay(tbl, collection_modes=MODES))
+
+    # save enabled → progress persists; a third run applies 0 events
+    cfg.save_progress = True
+    stats2 = replay(spark, cfg, MODES)
+    assert stats2.n_events == tbl.num_rows  # nothing was saved before
+    stats3 = replay(spark, cfg, MODES)
+    assert stats3.n_events == 0
+
+    # load disabled → saved progress ignored, full re-replay (idempotent)
+    cfg.load_progress = False
+    stats4 = replay(spark, cfg, MODES)
+    assert stats4.n_events == tbl.num_rows
+    assert_state_equal(visible_state(spark, cfg), s1)
+
+
+def test_batch_never_splits_across_windows(spark, tmp_path):
+    """cdc$end_of_batch contract (consumer.rs:164,197-198): a multi-row
+    write batch (shared cdc$time, increasing batch_seq_no, end_of_batch
+    on the last row) must never be split by a window boundary.  In this
+    engine that is structural — windows filter half-open on cdc_time_ms
+    and every batch row shares it — asserted here with window
+    boundaries landing exactly ON batch timestamps, plus a negative
+    check that the integrity checker does catch a split."""
+    from pyspark.sql import functions as F
+
+    from scylla_cdc_rust_spark.datagen.gen_log import T0_MS
+    from scylla_cdc_rust_spark.functions.decode import (
+        batch_integrity_violations,
+        decode,
+    )
+    from tests.util import spark_df_via_parquet
+
+    tbl = generate_log(LogSpec(n_events=1_000, n_docs=50, seed=19))
+    df = decode(spark_df_via_parquet(spark, tbl, tmp_path / "log"))
+    assert "end_of_batch" in df.columns
+    # the generator emits multi-row batches: whole log is batch-atomic
+    assert batch_integrity_violations(df).count() == 0
+    n_multi = (
+        df.groupBy("`cdc$stream_id`", "cdc_time_ms", "cdc_time_seq")
+        .count().where(F.col("count") > 1).count()
+    )
+    assert n_multi > 0, "generator produced no multi-row batches"
+
+    # adversarially-aligned windows (width 777 ms, boundaries falling
+    # between/on batch ticks): no batch may span two window ids — one
+    # aggregate over the whole log, not a per-window loop
+    wid = F.floor((F.col("cdc_time_ms") - F.lit(T0_MS)) / F.lit(777))
+    spans = (
+        df.select("`cdc$stream_id`", "cdc_time_ms", "cdc_time_seq", wid.alias("w"))
+        .groupBy("`cdc$stream_id`", "cdc_time_ms", "cdc_time_seq")
+        .agg(F.countDistinct("w").alias("nw"))
+        .where(F.col("nw") > 1)
+        .count()
+    )
+    assert spans == 0
+
+    # negative: a cut that DOES split batches (drops each batch's last
+    # row) must be flagged — proves the checker detects real splits
+    split = df.where(~F.col("end_of_batch"))
+    assert batch_integrity_violations(split).count() > 0
+
+    # end-to-end: small windows with boundaries on batch ticks still
+    # reproduce the oracle state
+    cfg = make_cfg(str(tmp_path), tbl, window_ms=5_000)
+    stats = replay(spark, cfg, MODES)
+    assert stats.n_batches >= 5
+    assert_state_equal(visible_state(spark, cfg), oracle_replay(tbl, collection_modes=MODES))

@@ -355,6 +355,84 @@ def test_timeuuid_decode(spark):
     assert keys == sorted(keys)
 
 
+def _v1_uuid(ticks_unix_100ns: int, clock_seq: int) -> bytes:
+    t = ticks_unix_100ns + 122192928000000000
+    return uuid.UUID(fields=(
+        t & 0xFFFFFFFF, (t >> 32) & 0xFFFF, 0x1000 | ((t >> 48) & 0x0FFF),
+        0x80 | ((clock_seq >> 8) & 0x3F), clock_seq & 0xFF,
+        0x123456789ABC)).bytes
+
+
+def test_timeuuid_clock_seq_fidelity(spark):
+    """The reference orders by the FULL timeuuid (consumer.rs:193-194);
+    the packed ord carries (tick, batch) only, so ingest must either be
+    collision-free or fail loudly — never silently collapse two changes
+    that differ only in clock sequence."""
+    import pytest
+
+    from scylla_cdc_rust_spark.functions.timeuuid import (
+        TimeuuidOrderError,
+        with_decoded_timeuuid,
+    )
+
+    t0 = 1_700_000_000_000_000 * 10
+    # distinct ticks, clock seq varying: fine — tick order IS uuid order
+    ok = spark.createDataFrame(
+        [("s1", _v1_uuid(t0 + i, 5000 - i)) for i in range(4)],
+        "`cdc$stream_id` string, `cdc$time` binary",
+    )
+    dec = with_decoded_timeuuid(ok, strict=True).collect()
+    assert [r["cdc_clock_seq"] for r in dec] == [5000, 4999, 4998, 4997]
+    keys = [(r["cdc_time_ms"], r["cdc_time_seq"]) for r in dec]
+    assert keys == sorted(keys) and len(set(keys)) == 4
+    # same tick in one stream, different clock seq: loud failure
+    bad = spark.createDataFrame(
+        [("s1", _v1_uuid(t0, 100)), ("s1", _v1_uuid(t0, 200))],
+        "`cdc$stream_id` string, `cdc$time` binary",
+    )
+    with pytest.raises(TimeuuidOrderError, match="clock sequences"):
+        with_decoded_timeuuid(bad, strict=True)
+    # same tick in DIFFERENT streams: never compared — allowed
+    cross = spark.createDataFrame(
+        [("s1", _v1_uuid(t0, 100)), ("s2", _v1_uuid(t0, 200))],
+        "`cdc$stream_id` string, `cdc$time` binary",
+    )
+    assert with_decoded_timeuuid(cross, strict=True).count() == 2
+    # strict=False: caller opts out (synthetic logs carry ms/seq directly)
+    assert with_decoded_timeuuid(bad, strict=False).count() == 2
+
+
+def test_decode_raw_timeuuid_log_end_to_end(spark):
+    """A log carrying only the raw ``cdc$time`` timeuuid (a real Scylla
+    CDC log shape, consumer.rs:193-194) must flow through decode → fold
+    without the caller pre-deriving the ms/seq surrogates."""
+    from scylla_cdc_rust_spark.functions.decode import decode
+    from scylla_cdc_rust_spark.operators.fold import fold
+
+    t0 = 1_700_000_000_000_000 * 10  # unix 100ns ticks
+    # doc 1: insert v=10 then update v=20 (later tick wins);
+    # doc 2: insert v=7 then row delete → absent from final state
+    rows = [
+        ("s1", _v1_uuid(t0 + 0, 1), 0, 2, None, 1, 10),
+        ("s1", _v1_uuid(t0 + 50_000, 1), 0, 1, None, 1, 20),
+        ("s2", _v1_uuid(t0 + 10_000, 9), 0, 2, None, 2, 7),
+        ("s2", _v1_uuid(t0 + 90_000, 9), 0, 3, None, 2, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "`cdc$stream_id` string, `cdc$time` binary, `cdc$batch_seq_no` int,"
+        " `cdc$operation` int, `cdc$ttl` long, doc_id int, v int",
+    )
+    dec = decode(df)
+    assert {"cdc_time_ms", "cdc_time_seq", "cdc_clock_seq", "ord"} <= set(dec.columns)
+    final = {r["doc_id"]: r["v"] for r in fold(dec, collection_modes={}).collect()}
+    assert final == {1: 20}
+
+    # a raw log with no time column at all is rejected loudly
+    with pytest.raises(ValueError, match="not a CDC log"):
+        decode(df.drop("cdc$time"))
+
+
 def test_sequence_packing(spark):
     from scylla_cdc_rust_spark.operators.packing import pack_offsets, pack_stats
 
