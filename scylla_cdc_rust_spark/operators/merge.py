@@ -97,9 +97,18 @@ class ParquetMergeTable:
             *[os.path.join(self.path, p) for p in paths]
         )
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame | None:
-        """Internal state incl. tombstones and bookkeeping columns."""
-        m = self._manifest()
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        at_version: int | None = None,
+    ) -> DataFrame | None:
+        """Internal state incl. tombstones and bookkeeping columns.
+
+        ``at_version`` time-travels to an older snapshot (Iceberg's
+        ``VERSION AS OF``): every commit keeps its manifest, so any
+        version not yet expired by ``vacuum`` resolves to its exact
+        bucket→file mapping."""
+        m = self._manifest(at_version)
         if m is None:
             return None
         sel = m["buckets"]
@@ -109,11 +118,93 @@ class ParquetMergeTable:
             return None
         return self._read_paths(sorted(set(sel.values())))
 
-    def read_visible(self) -> DataFrame | None:
-        df = self.read()
+    def read_visible(self, at_version: int | None = None) -> DataFrame | None:
+        df = self.read(at_version=at_version)
         if df is None:
             return None
         return df.where(~F.col("is_deleted")).drop("__has_marker", "is_deleted", BUCKET_COL)
+
+    def snapshots(self) -> list[dict]:
+        """All snapshots still resolvable on disk, oldest first — the
+        analog of Iceberg's snapshot log (metadata ``snapshots`` list).
+        Driver-side directory listing: one entry per manifest, never a
+        Spark job."""
+        out = []
+        for name in sorted(os.listdir(self.path)):
+            if not (name.startswith("manifest-") and name.endswith(".json")):
+                continue
+            with open(os.path.join(self.path, name)) as f:
+                m = json.load(f)
+            out.append(
+                {
+                    "version": m["version"],
+                    "committed_at_ms": m.get("committed_at_ms"),
+                    "n_buckets": len(m["buckets"]),
+                }
+            )
+        return sorted(out, key=lambda s: s["version"])
+
+    def changed_buckets(self, v_from: int, v_to: int) -> list[int]:
+        """Buckets whose data pointer differs between two snapshots —
+        the partition-pruning step of an incremental read (manifest
+        diff, driver-side, no job)."""
+        a = (self._manifest(v_from) or {"buckets": {}})["buckets"]
+        b = (self._manifest(v_to) or {"buckets": {}})["buckets"]
+        return sorted(
+            int(k) for k in set(a) | set(b) if a.get(k) != b.get(k)
+        )
+
+    def read_changes(self, v_from: int, v_to: int) -> DataFrame | None:
+        """Net row-level changes between two snapshots, as a changelog
+        (Iceberg's ``create_changelog_view`` analog): one row per key
+        whose visible state differs, with ``change_type`` in
+        INSERT / UPDATE / DELETE and the new visible payload (null for
+        DELETE).
+
+        Scale shape: only buckets whose manifest pointer changed are
+        read on either side (manifest diff prunes the rest), and the
+        two sides join co-partitioned on the merge key — the cost is
+        O(|changed buckets|), independent of table size.  The engine
+        therefore both consumes CDC and can emit CDC downstream.
+        """
+        cb = self.changed_buckets(v_from, v_to)
+        if not cb:
+            return None
+        book = ["__has_marker", "is_deleted", BUCKET_COL]
+        old = self.read(buckets=cb, at_version=v_from)
+        new = self.read(buckets=cb, at_version=v_to)
+        vis = lambda df: df.where(~F.col("is_deleted")).drop(*book)  # noqa: E731
+        if new is None:
+            new = None if old is None else vis(old).limit(0)
+        else:
+            new = vis(new)
+        if old is None:
+            return new.withColumn("change_type", F.lit("INSERT"))
+        old = vis(old)
+        payload = [c for c in new.columns if c != self.key]
+        o = old.select(
+            F.col(self.key),
+            F.struct(*[F.col(c) for c in payload]).alias("__old"),
+        )
+        nw = new.select(
+            F.col(self.key),
+            F.struct(*[F.col(c) for c in payload]).alias("__new"),
+        )
+        j = o.join(nw, self.key, "full_outer")
+        return (
+            j.withColumn(
+                "change_type",
+                F.when(F.col("__old").isNull(), F.lit("INSERT"))
+                .when(F.col("__new").isNull(), F.lit("DELETE"))
+                .when(F.col("__old") != F.col("__new"), F.lit("UPDATE")),
+            )
+            .where(F.col("change_type").isNotNull())
+            .select(
+                self.key,
+                *[F.col(f"__new.{c}").alias(c) for c in payload],
+                "change_type",
+            )
+        )
 
     # ---------- merge ----------
 
@@ -247,6 +338,7 @@ class ParquetMergeTable:
                 "num_buckets": self.num_buckets,
                 "key": self.key,
                 "schema": new_state.drop(BUCKET_COL).schema.json(),
+                "committed_at_ms": int(time.time() * 1000),
             }
         )
         return {
@@ -258,9 +350,19 @@ class ParquetMergeTable:
 
     # ---------- maintenance ----------
 
-    def vacuum(self, tombstone_horizon_ord: int | None = None) -> None:
-        """Drop old version dirs not referenced by the current manifest;
-        optionally purge tombstones older than a watermark horizon."""
+    def vacuum(
+        self,
+        tombstone_horizon_ord: int | None = None,
+        retain_versions: int = 1,
+    ) -> None:
+        """Drop version dirs not referenced by any retained manifest;
+        optionally purge tombstones older than a watermark horizon.
+
+        ``retain_versions``: how many trailing snapshots stay
+        time-travelable (Iceberg's ``expire_snapshots`` retain-last) —
+        their manifests and every bucket dir they reference survive;
+        older manifests are deleted so ``snapshots()`` only lists
+        resolvable versions."""
         m = self._manifest()
         if m is None:
             return
@@ -286,10 +388,23 @@ class ParquetMergeTable:
         # buckets per version — dropping only whole version dirs would
         # leak every superseded bucket inside still-referenced versions
         # (unbounded growth at 10^10 events)
+        cur_v = m["version"]
+        retained = [
+            s["version"]
+            for s in self.snapshots()
+            if s["version"] > cur_v - max(1, retain_versions)
+        ]
         referenced = {
             os.path.normpath(os.path.join(self.path, p))
-            for p in m["buckets"].values()
+            for v in retained
+            for p in (self._manifest(v) or {"buckets": {}})["buckets"].values()
         }
+        # expire manifests older than the retained window
+        for name in os.listdir(self.path):
+            if name.startswith("manifest-") and name.endswith(".json"):
+                v = int(name[len("manifest-"):-len(".json")])
+                if v not in retained:
+                    os.remove(os.path.join(self.path, name))
         data_root = os.path.join(self.path, "data")
         if os.path.isdir(data_root):
             import shutil

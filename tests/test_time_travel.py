@@ -1,0 +1,104 @@
+"""Snapshot time travel + incremental changelog on the merge table.
+
+Iceberg analogs (the north rule's production sink): ``VERSION AS OF``
+reads, the snapshot log, ``create_changelog_view`` between snapshots,
+and ``expire_snapshots`` retention.  Every commit already writes an
+immutable manifest, so these are manifest-resolution features — no new
+write-path cost.
+"""
+
+from scylla_cdc_rust_spark.functions.decode import decode
+from scylla_cdc_rust_spark.operators.fold import fold_delta
+from scylla_cdc_rust_spark.operators.merge import ParquetMergeTable
+from tests.scenarios import LogBuilder
+from tests.util import spark_df_from_arrow
+
+MODES: dict = {"tokens": "set"}
+PAYLOAD = ["tokens", "n_tok", "source"]
+
+
+def _merge(spark, table, builder, t_base):
+    for i, r in enumerate(builder.rows):
+        r["cdc_time_ms"] = t_base + i * 1000
+    delta = fold_delta(
+        decode(spark_df_from_arrow(spark, builder.build())), collection_modes=MODES
+    )
+    return table.merge(delta, payload=PAYLOAD, collection_modes=MODES)
+
+
+def _mk_versions(spark, tmp_path):
+    """v1: insert a,b,c.  v2: update a, delete b, insert d."""
+    table = ParquetMergeTable(spark, str(tmp_path / "t"), num_buckets=8)
+    _merge(
+        spark,
+        table,
+        LogBuilder()
+        .insert("a", [1], source="web")
+        .insert("b", [2], source="web")
+        .insert("c", [3], source="book"),
+        1_600_000_000_000,
+    )
+    _merge(
+        spark,
+        table,
+        LogBuilder()
+        .update("a", tokens=[1, 9])
+        .delete_row("b")
+        .insert("d", [4], source="wiki"),
+        1_700_000_000_000,
+    )
+    return table
+
+
+def _vis(table, v=None):
+    return {
+        r["doc_id"]: sorted(r["tokens"])
+        for r in table.read_visible(at_version=v).collect()
+    }
+
+
+def test_version_as_of_read(spark, tmp_path):
+    table = _mk_versions(spark, tmp_path)
+    assert table.version() == 2
+    assert _vis(table, v=1) == {"a": [1], "b": [2], "c": [3]}
+    assert _vis(table) == {"a": [1, 9], "c": [3], "d": [4]}
+    snaps = table.snapshots()
+    assert [s["version"] for s in snaps] == [1, 2]
+    assert all(s["committed_at_ms"] for s in snaps)
+    assert snaps[0]["committed_at_ms"] <= snaps[1]["committed_at_ms"]
+
+
+def test_changelog_between_snapshots(spark, tmp_path):
+    table = _mk_versions(spark, tmp_path)
+    # manifest diff prunes: only buckets of a/b/d changed (c untouched)
+    changed = table.changed_buckets(1, 2)
+    assert 0 < len(changed) < 8
+
+    ch = {
+        r["doc_id"]: (r["change_type"], r["tokens"] and sorted(r["tokens"]))
+        for r in table.read_changes(1, 2).collect()
+    }
+    assert ch == {
+        "a": ("UPDATE", [1, 9]),
+        "b": ("DELETE", None),
+        "d": ("INSERT", [4]),
+    }
+    assert "c" not in ch  # unchanged key in an unchanged bucket
+
+
+def test_vacuum_retains_snapshots(spark, tmp_path):
+    table = _mk_versions(spark, tmp_path)
+    _merge(spark, table, LogBuilder().insert("e", [5]), 1_800_000_000_000)
+    assert table.version() == 3
+
+    # retain last 2: v2 stays time-travelable, v1 expires
+    table.vacuum(retain_versions=2)
+    assert [s["version"] for s in table.snapshots()] == [2, 3]
+    assert _vis(table, v=2) == {"a": [1, 9], "c": [3], "d": [4]}
+    assert table.read_changes(2, 3) is not None
+    assert _vis(table) == {"a": [1, 9], "c": [3], "d": [4], "e": [5]}
+
+    # default retention: current only (round-2 behavior unchanged)
+    table.vacuum()
+    assert [s["version"] for s in table.snapshots()] == [3]
+    assert _vis(table) == {"a": [1, 9], "c": [3], "d": [4], "e": [5]}
