@@ -75,16 +75,24 @@ def _hyperplane(j: int, dim: int, stride: int = 1):
     return [((j * 131 + d * 197) % 17) - 8 for d in range(0, dim, stride)]
 
 
-def lsh_bucket(vec_col, dim: int, n_planes: int = 8, stride: int = 1):
-    """Sign-bucket id from n deterministic hyperplanes."""
-    bucket = F.lit(0)
+def lsh_bucket(vec_col: str, dim: int, n_planes: int = 8, stride: int = 1):
+    """Sign-bucket id from n deterministic hyperplanes.
+
+    ``vec_col`` is the array column's NAME: the whole bucket id is
+    assembled as one parsed SQL expression instead of n_planes·dim
+    Column operators (each a py4j round trip + a Catalyst node — the
+    unrolled form cost ~1 s of fixed per-query overhead at 8×64).
+    Left-associative `+` in the parsed string reproduces the unrolled
+    fold's float order exactly (0.0 + t1 ≡ t1 in IEEE)."""
+    terms = []
     for j in range(n_planes):
         g = _hyperplane(j, dim, stride)
-        dot = F.lit(0.0)
-        for i, w in enumerate(g):
-            dot = dot + F.element_at(vec_col, i * stride + 1).cast("double") * F.lit(w)
-        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(0)
-    return bucket.cast("int")
+        dot = " + ".join(
+            f"CAST(element_at(`{vec_col}`, {i * stride + 1}) AS DOUBLE) * {w}"
+            for i, w in enumerate(g)
+        )
+        terms.append(f"(CASE WHEN ({dot}) > 0.0D THEN {1 << j} ELSE 0 END)")
+    return F.expr("CAST(" + " + ".join(terms) + " AS INT)")
 
 
 def lsh_topk(
@@ -106,12 +114,12 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("qid"),
         _as_double(F.col(vec_col)).alias("qv"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        lsh_bucket(vec_col, dim, n_planes).alias("bucket"),
     )
     c = candidates.select(
         F.col(id_col).alias("cid"),
         _as_double(F.col(vec_col)).alias("cv"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        lsh_bucket(vec_col, dim, n_planes).alias("bucket"),
     )
     if max_candidates_per_bucket:
         # Skew-free two-stage cap: (1) broadcast the over-cap bucket
@@ -120,6 +128,12 @@ def lsh_topk(
         # row_number within the thinned set.  The window/sort task then
         # touches O(cap) rows per bucket no matter how degenerate the
         # bucket — a mega-bucket never funnels through one sort task.
+        # Persist the bucketed candidates: the count pass and the probe
+        # pass both read them, and the bucket projection (sign-plane
+        # aggregate per vector) is the expensive part of this plan.
+        from pyspark import StorageLevel
+
+        c = c.persist(StorageLevel.MEMORY_AND_DISK)
         cap = max_candidates_per_bucket
         hot = (
             c.groupBy("bucket")
@@ -153,26 +167,38 @@ def lsh_topk(
     )
 
 
-def _sq_dist_to(vec_col, centroid: list[float]):
-    """Squared L2 distance from an array column to a literal centroid."""
-    lit_c = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(vec_col, lit_c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def _nearest_cells(vec_col, centroids: list[list[float]], n: int):
     """Indices of the n nearest centroids, as an array column (sorted by
-    distance; ties by index — fully deterministic)."""
-    packed = F.array(
-        *[
-            F.struct(
-                _sq_dist_to(vec_col, c).alias("d"), F.lit(j).alias("j")
-            )
-            for j, c in enumerate(centroids)
-        ]
+    distance; ties by index — fully deterministic).
+
+    The centroids enter the plan as ONE literal array<array<double>>
+    folded with a single transform lambda, not per-centroid unrolled
+    expressions: the unrolled form is O(k·dim) expression NODES — k·dim
+    py4j round trips to build and a matching Catalyst analysis/codegen
+    bill (seconds of fixed per-query cost for 8×64).  The literal is
+    assembled as one parsed SQL expression (``repr`` round-trips doubles
+    exactly), so building it is a single driver call.  Arithmetic order
+    per centroid is unchanged (zip_with then a 0.0-seeded left fold),
+    so results are bit-identical to the unrolled form and to the DuckDB
+    oracle."""
+    lit_cs = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+            for c in centroids
+        )
+        + ")"
+    )
+    packed = F.transform(
+        lit_cs,
+        lambda c, j: F.struct(
+            F.aggregate(
+                F.zip_with(vec_col, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            j.alias("j"),
+        ),
     )
     return F.slice(
         F.transform(F.array_sort(packed), lambda s: s["j"]), 1, n
@@ -357,7 +383,7 @@ def embedding_near_dups(
     b = df.select(
         F.col(id_col).alias("id"),
         _as_double(F.col(vec_col)).alias("v"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        lsh_bucket(vec_col, dim, n_planes).alias("bucket"),
     )
     join_cols = ["bucket"]
     if max_bucket_size:

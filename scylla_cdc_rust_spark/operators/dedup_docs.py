@@ -47,7 +47,17 @@ def cap_buckets(
     combinable groupBy count, and only the OVER-CAP buckets (a tiny
     set by construction) are broadcast back — a mega-bucket's members
     never funnel through one window/sort task just to be counted.
+
+    The input is persisted (memory, spilling to disk) before the count:
+    the guard reads it twice (count + probe) and every LSH caller
+    self-joins the capped output, so without the cache the expensive
+    upstream (signature aggregates, explodes) re-evaluates up to 4×.
+    At 100 TB the cached set is one slim (bucket, member) projection —
+    spilling it locally is far cheaper than recomputing signatures.
     """
+    from pyspark import StorageLevel
+
+    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     hot = (
         buckets.groupBy(*bucket_cols)
         .agg(F.count(F.lit(1)).alias("__n"))
