@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "emb_lsh_buckets",
     "emb_ivf_topk",
     "doc_simhash_neardups",
+    "doc_stratified_sample",
+    "doc_ngram_contamination",
 ]
 
 

@@ -1,0 +1,88 @@
+"""Benchmark decontamination: n-gram overlap against a held-out set.
+
+The standard training-data hygiene step: any document sharing enough
+word n-grams with an evaluation benchmark is flagged (and usually
+dropped) so the model is not trained on its own test set.
+
+Scale shape — the part that matters at 100 TB:
+
+- the BENCHMARK side is tiny (thousands of documents); its distinct
+  n-gram hashes are aggregated first and enter the corpus join as a
+  **broadcast** hash join — the corpus n-gram stream is never shuffled;
+- the corpus side is one projection (split → slide → hash → explode)
+  feeding a per-doc aggregate whose partial runs map-side, so the only
+  exchange carries one row per (doc, matched) — bounded by the corpus
+  row count, not its n-gram count;
+- hashes use the engine-portable md5-prefix bigint (queries.py idiom),
+  so the whole operator is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from scylla_cdc_rust_spark.functions.text import word_hash, words
+
+
+def ngram_hashes(text: Column | str, n: int) -> Column:
+    """Array of portable hashes of the word n-grams of ``text``.
+
+    Sliding window via sequence+slice — pure Catalyst, no explode yet
+    (callers explode only when they need the stream shape).  Documents
+    with fewer than n words contribute no n-grams.
+    """
+    ws = words(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1)),
+        lambda i: word_hash(F.concat_ws(" ", F.slice(ws, i, n))),
+    )
+    # sequence(1, stop) DESCENDS when stop < 1 — guard short documents
+    # to an empty array instead of emitting bogus reversed windows
+    return F.when(F.size(ws) >= n, grams).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document contamination stats vs a benchmark set.
+
+    Returns one row per corpus document that has ≥1 n-gram also present
+    in the benchmark: (id, n_ngrams, n_contaminated, contamination) —
+    contamination = distinct matched n-grams / distinct own n-grams.
+    Documents with no overlap are absent (filter the corpus with a
+    left-anti join on the result to decontaminate).
+    """
+    bench = (
+        benchmark.select(F.explode(ngram_hashes(text_col, n)).alias("h"))
+        .distinct()
+    )
+    # ONE corpus scan: per-doc distinct grams with the doc's total
+    # carried alongside, exploded into the broadcast probe
+    doc_grams = corpus.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(ngram_hashes(text_col, n)).alias("gs"),
+    ).select(
+        "id", F.size("gs").alias("n_ngrams"), F.explode("gs").alias("h")
+    )
+    return (
+        doc_grams.join(F.broadcast(bench), "h")
+        .groupBy("id", "n_ngrams")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .select(
+            F.col("id").alias(id_col),
+            "n_ngrams",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated").cast("double")
+                / F.col("n_ngrams").cast("double"),
+                6,
+            ).alias("contamination"),
+        )
+    )

@@ -1,0 +1,60 @@
+"""Deterministic stratified sampling for training-data pipelines.
+
+At 100 TB, sampling must be (a) a pure map-side filter — no shuffle, no
+state, no reservoir — and (b) reproducible across reruns and engines so
+downstream dedup/checkpointing stays stable.  Both follow from hashing
+a stable row id: keep a row iff ``H(id) mod M < rate·M``.  The hash is
+the engine-portable md5-prefix bigint used across this repo (same
+values in DuckDB — queries.py), so sampled sets are oracle-checkable.
+
+The per-stratum rate table enters the plan as a literal map (strata
+counts are catalog-sized, never data-sized); the whole operator
+compiles to one whole-stage-codegen filter over the scan — filters and
+column pruning still reach parquet untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: hash-space modulus: rates are resolved to integer thresholds out of M
+SAMPLE_MOD = 1_000_000
+
+
+def sample_hash(id_col: Column | str, mod: int = SAMPLE_MOD) -> Column:
+    """Portable uniform hash of a row id into [0, mod) — the repo-wide
+    md5-prefix word hash (functions.text.word_hash, mod-M31-reduced so
+    Spark and DuckDB agree) applied to the id's string form."""
+    from scylla_cdc_rust_spark.functions.text import word_hash
+
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return word_hash(c.cast("string")) % F.lit(mod)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each stratum at its configured rate, deterministically.
+
+    ``rates``: stratum value → keep rate in [0, 1].  Unlisted strata
+    keep ``default_rate``.  Rerunning (or running on another engine)
+    selects the SAME rows — the property that makes sampled corpora
+    diffable and resumable.  rate=1.0 keeps every row of the stratum.
+    """
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} out of [0,1]: {r}")
+    pairs: list[Column] = []
+    for s, r in sorted(rates.items()):
+        pairs.append(F.lit(s))
+        pairs.append(F.lit(int(round(r * SAMPLE_MOD))))
+    thresh = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(strata_col)) if pairs else F.lit(None),
+        F.lit(int(round(default_rate * SAMPLE_MOD))),
+    )
+    return df.where(sample_hash(id_col) < thresh)

@@ -1649,6 +1649,85 @@ HAVING max(CASE WHEN base_op IN (1,2) THEN ord END)
 )
 
 
+def q_doc_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (operators/sampling.py): keep
+    each language at its configured rate via the portable id hash — a
+    pure map-side filter, zero shuffle at any scale.  Reported as
+    per-(lang, source) sampled counts so the gate pins the exact
+    selected set (same hash in DuckDB ⇒ same rows)."""
+    from scylla_cdc_rust_spark.operators.sampling import stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = stratified_sample(
+        d, {"en": 0.5, "de": 0.25, "zh": 0.1}, strata_col="lang",
+        id_col="doc_id", default_rate=0.05,
+    )
+    return s.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SQL_DOC_STRATIFIED_SAMPLE = f"""
+WITH h AS (
+  SELECT lang, source, doc_id,
+         {_h_duck("CAST(doc_id AS VARCHAR)")} % 1000000 AS hh
+  FROM documents
+)
+SELECT lang, source, count(*) AS n_sampled,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM h
+WHERE hh < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+                     WHEN 'zh' THEN 100000 ELSE 50000 END
+GROUP BY lang, source
+"""
+
+
+def q_doc_ngram_contamination(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.py): flag corpus
+    documents sharing word 3-grams with a held-out benchmark set (here
+    a deterministic 1-in-16 hash slice of the table).  The benchmark's
+    distinct n-gram hashes broadcast into the corpus join — the corpus
+    n-gram stream is never shuffled."""
+    from scylla_cdc_rust_spark.operators.decontam import ngram_contamination
+    from scylla_cdc_rust_spark.operators.sampling import sample_hash
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_bench = sample_hash("doc_id", 16) == 0
+    out = ngram_contamination(
+        corpus=d.where(~is_bench), benchmark=d.where(is_bench), n=3
+    )
+    return out.select(
+        "doc_id", "n_ngrams", "n_contaminated", "contamination"
+    )
+
+
+SQL_DOC_NGRAM_CONTAMINATION = f"""
+WITH tagged AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         {_h_duck("CAST(doc_id AS VARCHAR)")} % 16 = 0 AS is_bench
+  FROM documents
+), grams AS (
+  SELECT doc_id, is_bench,
+         {_h_duck("array_to_string(ws[i:i+2], ' ')")} AS h
+  FROM tagged, UNNEST(range(1, greatest(len(ws) - 2, 0) + 1)) AS t(i)
+), bench AS (
+  SELECT DISTINCT h FROM grams WHERE is_bench
+), corp AS (
+  SELECT DISTINCT doc_id, h FROM grams WHERE NOT is_bench
+), totals AS (
+  SELECT doc_id, count(*) AS n_ngrams FROM corp GROUP BY doc_id
+), matched AS (
+  SELECT c.doc_id, count(*) AS n_contaminated
+  FROM corp c JOIN bench USING (h) GROUP BY c.doc_id
+)
+SELECT m.doc_id, t.n_ngrams, m.n_contaminated,
+       round(m.n_contaminated / CAST(t.n_ngrams AS DOUBLE), 6) AS contamination
+FROM matched m JOIN totals t USING (doc_id)
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -1684,6 +1763,8 @@ QUERIES = {
     "doc_simhash_neardups": q_doc_simhash_neardups,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_pack_offsets": q_doc_pack_offsets,
+    "doc_stratified_sample": q_doc_stratified_sample,
+    "doc_ngram_contamination": q_doc_ngram_contamination,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_ivf_topk": q_emb_ivf_topk,
@@ -1721,6 +1802,8 @@ ORACLE_SQL = {
     "doc_simhash_neardups": SQL_DOC_SIMHASH_NEARDUPS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_pack_offsets": SQL_DOC_PACK_OFFSETS,
+    "doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,
+    "doc_ngram_contamination": SQL_DOC_NGRAM_CONTAMINATION,
     "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
     "emb_lsh_buckets": SQL_EMB_LSH_BUCKETS,
     "emb_ivf_topk": SQL_EMB_IVF_TOPK,

@@ -460,3 +460,65 @@ def test_sequence_packing(spark):
         rows = sorted((r for r in sharded if r["shard"] == shard),
                       key=lambda r: r["doc_id"])
         assert rows[0]["start_off"] == 0
+
+
+def test_stratified_sample_deterministic_rates(spark, docs):
+    from scylla_cdc_rust_spark.operators.sampling import stratified_sample
+
+    rates = {"en": 0.5, "de": 0.25}
+    s1 = stratified_sample(docs, rates, default_rate=0.1)
+    s2 = stratified_sample(docs, rates, default_rate=0.1)
+    ids1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2 and ids1  # deterministic, non-empty
+
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    totals = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # realized fractions near configured rates (small-sample tolerance)
+    for lang, n in by_lang.items():
+        want = rates.get(lang, 0.1)
+        assert abs(n / totals[lang] - want) < 0.25
+
+    # rate 1.0 keeps every row of the stratum; rate 0.0 (default) drops
+    keep_all = stratified_sample(docs, {"en": 1.0}, default_rate=0.0)
+    assert keep_all.count() == totals["en"]
+    assert {r["lang"] for r in keep_all.select("lang").collect()} == {"en"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="out of"):
+        stratified_sample(docs, {"en": 1.5})
+
+
+def test_ngram_contamination_flags_shared_trigrams(spark):
+    from scylla_cdc_rust_spark.operators.decontam import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "a quick brown fox ran away"),  # shares 'quick brown fox'
+            (2, "totally unrelated words here now"),  # no overlap
+            (3, "tiny doc"),  # < 3 words: no n-grams at all
+            (4, "the quick brown fox jumps high"),  # shares 3 trigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in
+           ngram_contamination(corpus, bench, n=3).collect()}
+    assert set(out) == {1, 4}
+    assert out[1]["n_ngrams"] == 4 and out[1]["n_contaminated"] == 1
+    assert out[4]["n_ngrams"] == 4 and out[4]["n_contaminated"] == 3
+    assert out[4]["contamination"] == 0.75
+
+    # decontaminate: anti-join on the flagged ids removes docs 1 and 4
+    flagged = ngram_contamination(corpus, bench, n=3).select("doc_id")
+    clean = corpus.join(flagged, "doc_id", "left_anti")
+    assert {r["doc_id"] for r in clean.collect()} == {2, 3}
