@@ -181,15 +181,30 @@ class ParquetMergeTable:
         if old is None:
             return new.withColumn("change_type", F.lit("INSERT"))
         old = vis(old)
-        payload = [c for c in new.columns if c != self.key]
-        o = old.select(
-            F.col(self.key),
-            F.struct(*[F.col(c) for c in payload]).alias("__old"),
-        )
-        nw = new.select(
-            F.col(self.key),
-            F.struct(*[F.col(c) for c in payload]).alias("__new"),
-        )
+        # schema evolution between the snapshots: compare on the union
+        # of payload columns, padding the missing side with typed nulls
+        # (a column add alone therefore does NOT flag unchanged rows —
+        # old null == new null for rows the add never touched)
+        payload = list(dict.fromkeys(
+            [c for c in new.columns if c != self.key]
+            + [c for c in old.columns if c != self.key]
+        ))
+        ntypes = {f.name: f.dataType for f in new.schema.fields}
+        otypes = {f.name: f.dataType for f in old.schema.fields}
+
+        def pad(df, types):
+            cols = []
+            for c in payload:
+                if c in types:
+                    want = ntypes[c] if c in ntypes else types[c]
+                    col = F.col(c).cast(want) if types[c] != want else F.col(c)
+                else:
+                    col = F.lit(None).cast(ntypes[c] if c in ntypes else otypes[c])
+                cols.append(col.alias(c))
+            return df.select(F.col(self.key), F.struct(*cols).alias("__s"))
+
+        o = pad(old, otypes).withColumnRenamed("__s", "__old")
+        nw = pad(new, ntypes).withColumnRenamed("__s", "__new")
         j = o.join(nw, self.key, "full_outer")
         return (
             j.withColumn(

@@ -102,3 +102,48 @@ def test_vacuum_retains_snapshots(spark, tmp_path):
     table.vacuum()
     assert [s["version"] for s in table.snapshots()] == [3]
     assert _vis(table) == {"a": [1, 9], "c": [3], "d": [4], "e": [5]}
+
+
+def test_changelog_across_schema_evolution(spark, tmp_path):
+    """read_changes spanning a column add + int->long widening: rows the
+    evolution alone touched (rewritten buckets, padded nulls, widened
+    casts) must NOT be flagged; real updates must."""
+    import os
+
+    from scylla_cdc_rust_spark.config import CDCPipelineConfig
+    from scylla_cdc_rust_spark.plans.pipeline import replay
+    from tests.test_schema_evolution import LogBuilder, evolve_epoch1, write_epoch
+
+    tmp = str(tmp_path)
+    b0 = (
+        LogBuilder()
+        .insert("a", [1, 2], source="web")
+        .insert("b", [3], source="book")
+    )
+    b1 = LogBuilder().update("a", n_tok=42).insert("c", [9], source="wiki")
+    for r in b1.rows:
+        r["cdc_time_ms"] += 10_000_000
+        r["epoch"] = 1
+    cfg = CDCPipelineConfig(
+        log_path=os.path.join(tmp, "log"),
+        target_path=os.path.join(tmp, "t"),
+        watermark_path=os.path.join(tmp, "wm"),
+        window_size_ms=1 << 60,
+        target_num_buckets=4,
+    )
+    os.makedirs(cfg.log_path)
+    write_epoch(b0.build(), cfg.log_path, 0)
+    write_epoch(evolve_epoch1(b1.build()), cfg.log_path, 1)
+    replay(spark, cfg, MODES)
+
+    table = ParquetMergeTable(spark, cfg.target_path, num_buckets=4)
+    assert table.version() == 2  # one commit per epoch window
+    ch = {
+        r["doc_id"]: r["change_type"]
+        for r in table.read_changes(1, 2).collect()
+    }
+    assert ch.get("a") == "UPDATE"  # n_tok really changed
+    assert ch.get("c") == "INSERT"  # created in epoch 1
+    # 'b' sits in a bucket the widening rewrote, but its values did not
+    # change — padded lang null + widened n_tok must compare equal
+    assert "b" not in ch
