@@ -522,3 +522,30 @@ def test_ngram_contamination_flags_shared_trigrams(spark):
     flagged = ngram_contamination(corpus, bench, n=3).select("doc_id")
     clean = corpus.join(flagged, "doc_id", "left_anti")
     assert {r["doc_id"] for r in clean.collect()} == {2, 3}
+
+
+def test_scale_plan_shapes(spark, docs):
+    """Pin the physical-plan properties the 100 TB story rests on:
+    stratified sampling compiles to a pure filter (NO exchange), and
+    decontamination probes the corpus with a BROADCAST join (the corpus
+    n-gram stream is never shuffle-partitioned by hash key)."""
+    from scylla_cdc_rust_spark.operators.decontam import ngram_contamination
+    from scylla_cdc_rust_spark.operators.sampling import stratified_sample
+
+    sample_plan = stratified_sample(
+        docs, {"en": 0.5}, default_rate=0.1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in sample_plan
+    assert "Filter" in sample_plan
+
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    corp = docs.where(F.col("doc_id") % 17 != 0)
+    cont_plan = ngram_contamination(
+        corp, bench, n=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in cont_plan
+    # the only allowed exchanges: the benchmark-side distinct (tiny) and
+    # the per-doc aggregate — never a hash repartition of corpus n-grams
+    # feeding the join probe (the probe side must read straight through)
+    import re
+    assert not re.search(r"SortMergeJoin|ShuffledHashJoin", cont_plan)
