@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "doc_simhash_neardups",
     "doc_stratified_sample",
     "doc_ngram_contamination",
+    "doc_curation_funnel",
 ]
 
 

@@ -1728,6 +1728,97 @@ FROM matched m JOIN totals t USING (doc_id)
 """
 
 
+def q_doc_curation_funnel(spark, sf_dir):
+    """The full training-corpus curation funnel (plans/curation.py):
+    quality filter → exact dedup → decontamination vs a held-out
+    benchmark slice → stratified sampling → sequence packing, reported
+    as the one-row stage-count funnel.  Composes five independently
+    oracled operators into the pipeline a production corpus run uses."""
+    from scylla_cdc_rust_spark.operators.sampling import sample_hash
+    from scylla_cdc_rust_spark.plans.curation import curation_funnel
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_bench = sample_hash("doc_id", 16) == 0
+    return curation_funnel(
+        d.where(~is_bench),
+        benchmark=d.where(is_bench),
+        quality_min=0.3,
+        contamination_max=0.05,
+        ngram_n=3,
+        sample_rates={"en": 0.5},
+        default_rate=0.8,
+        seq_len=2048,
+        n_shards=4,
+    )
+
+
+SQL_DOC_CURATION_FUNNEL = f"""
+WITH tagged AS (
+  SELECT doc_id, text, lang,
+         {_h_duck("CAST(doc_id AS VARCHAR)")} % 16 = 0 AS is_bench,
+         {_h_duck("CAST(doc_id AS VARCHAR)")} % 1000000 AS shash,
+         string_split(text, ' ') AS ws
+  FROM documents
+), corpus AS (
+  SELECT * FROM tagged WHERE NOT is_bench
+), q AS (
+  SELECT *,
+    round(
+      least(1.0, len(ws) / 100.0) * 0.5
+      + (1.0 / (1.0 + abs(CAST(length(text) AS DOUBLE) / len(ws) - 5.0))) * 0.3
+      + (CAST(len(list_filter(ws, w -> w IN {_SW_SQL})) AS DOUBLE) / len(ws)) * 0.2,
+      4) AS qs
+  FROM corpus
+), quality AS (
+  SELECT * FROM q WHERE qs >= 0.3
+), surv AS (
+  SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+), deduped AS (
+  SELECT quality.* FROM quality JOIN surv USING (doc_id)
+), bench_grams AS (
+  SELECT DISTINCT {_h_duck("array_to_string(ws[i:i+2], ' ')")} AS h
+  FROM tagged, UNNEST(range(1, greatest(len(ws) - 2, 0) + 1)) AS t(i)
+  WHERE is_bench
+), corp_grams AS (
+  SELECT DISTINCT doc_id, {_h_duck("array_to_string(ws[i:i+2], ' ')")} AS h
+  FROM deduped, UNNEST(range(1, greatest(len(ws) - 2, 0) + 1)) AS t(i)
+), totals AS (
+  SELECT doc_id, count(*) AS n_ngrams FROM corp_grams GROUP BY doc_id
+), matched AS (
+  SELECT c.doc_id, count(*) AS n_cont
+  FROM corp_grams c JOIN bench_grams USING (h) GROUP BY c.doc_id
+), contaminated AS (
+  SELECT m.doc_id FROM matched m JOIN totals t USING (doc_id)
+  WHERE m.n_cont / CAST(t.n_ngrams AS DOUBLE) > 0.05
+), clean AS (
+  SELECT * FROM deduped WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+), sampled AS (
+  SELECT * FROM clean
+  WHERE shash < CASE lang WHEN 'en' THEN 500000 ELSE 800000 END
+), packed AS (
+  SELECT CAST({_h_duck("CAST(doc_id AS VARCHAR)")} % 4 AS INT) AS shard,
+         doc_id, CAST(len(ws) AS BIGINT) AS n_tok
+  FROM sampled
+), offs AS (
+  SELECT shard, n_tok,
+         coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM packed
+), acct AS (
+  SELECT shard, sum(n_tok) AS toks,
+         max(CAST(floor((start_off + n_tok - 1) / 2048) AS BIGINT)) + 1 AS packs
+  FROM offs GROUP BY shard
+)
+SELECT (SELECT count(*) FROM corpus)  AS n_total,
+       (SELECT count(*) FROM quality) AS n_quality,
+       (SELECT count(*) FROM deduped) AS n_after_dedup,
+       (SELECT count(*) FROM clean)   AS n_clean,
+       (SELECT count(*) FROM sampled) AS n_sampled,
+       CAST(coalesce((SELECT sum(toks) FROM acct), 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce((SELECT sum(packs) FROM acct), 0) AS BIGINT) AS n_packs
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -1765,6 +1856,7 @@ QUERIES = {
     "doc_pack_offsets": q_doc_pack_offsets,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_ngram_contamination": q_doc_ngram_contamination,
+    "doc_curation_funnel": q_doc_curation_funnel,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_ivf_topk": q_emb_ivf_topk,
@@ -1804,6 +1896,7 @@ ORACLE_SQL = {
     "doc_pack_offsets": SQL_DOC_PACK_OFFSETS,
     "doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,
     "doc_ngram_contamination": SQL_DOC_NGRAM_CONTAMINATION,
+    "doc_curation_funnel": SQL_DOC_CURATION_FUNNEL,
     "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
     "emb_lsh_buckets": SQL_EMB_LSH_BUCKETS,
     "emb_ivf_topk": SQL_EMB_IVF_TOPK,

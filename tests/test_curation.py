@@ -1,0 +1,96 @@
+"""Curation funnel (plans/curation.py): stage semantics on a
+hand-built corpus plus the train_pipeline example CLI end-to-end."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture()
+def corpus(spark):
+    good = "the cat sat on the mat and it is a good day in the sun " * 4
+    rows = [
+        (1, good + "one", "en", "web"),
+        (2, good + "two", "en", "web"),
+        (3, good + "one", "en", "book"),      # exact dup of doc 1
+        (4, "x y", "de", "web"),              # fails quality (2 words)
+        (5, good + "five unique tail", "de", "web"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_curation_stage_semantics(spark, corpus):
+    from scylla_cdc_rust_spark.plans.curation import curate, curation_stages
+
+    bench = spark.createDataFrame(
+        [(99, "five unique tail means benchmark overlap", "en", "eval")],
+        "doc_id long, text string, lang string, source string",
+    )
+    st = curation_stages(
+        corpus, benchmark=bench, quality_min=0.3,
+        contamination_max=0.01, ngram_n=3, seq_len=8, n_shards=2,
+    )
+    ids = lambda df: {r["doc_id"] for r in df.select("doc_id").collect()}  # noqa: E731
+    assert ids(st["quality"]) == {1, 2, 3, 5}      # doc 4 too short
+    assert ids(st["deduped"]) == {1, 2, 5}         # doc 3 loses to doc 1
+    assert ids(st["clean"]) == {1, 2}              # doc 5 shares benchmark 3-grams
+    assert ids(st["sampled"]) == {1, 2}            # no sampling configured
+    offs = {r["doc_id"]: r.asDict() for r in st["offsets"].collect()}
+    assert set(offs) == {1, 2}
+    assert all(o["n_tok"] > 8 and o["last_pack"] >= o["first_pack"]
+               for o in offs.values())
+
+    # funnel stages only ever shrink
+    from scylla_cdc_rust_spark.plans.curation import curation_funnel
+
+    row = curation_funnel(
+        corpus, benchmark=bench, quality_min=0.3,
+        contamination_max=0.01, ngram_n=3, seq_len=8, n_shards=2,
+    ).first()
+    assert (row["n_total"] >= row["n_quality"] >= row["n_after_dedup"]
+            >= row["n_clean"] >= row["n_sampled"])
+    assert (row["n_total"], row["n_sampled"]) == (5, 2)
+    assert row["n_packs"] * 8 >= row["n_tokens"] > 0
+
+    # no benchmark → decontamination is a no-op
+    docs2, _ = curate(corpus, benchmark=None, quality_min=0.3)
+    assert ids(docs2) == {1, 2, 5}
+
+
+def test_train_pipeline_cli(spark, tmp_path):
+    from scylla_cdc_rust_spark.datagen.gen_log import LogSpec, generate_log, write_log
+
+    tmp = str(tmp_path)
+    tbl = generate_log(LogSpec(n_events=2_000, n_docs=100, seed=44))
+    write_log(tbl, os.path.join(tmp, "log"))
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "train_pipeline.py"),
+         "--log-path", os.path.join(tmp, "log"),
+         "--target-path", os.path.join(tmp, "t"),
+         "--watermark-path", os.path.join(tmp, "wm"),
+         "--packs-out", os.path.join(tmp, "packs"),
+         "--seq-len", "256", "--n-shards", "4"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    with open(os.path.join(tmp, "packs", "manifest.json")) as f:
+        man = json.load(f)
+    assert man["table_version"] >= 1 and man["n_packs"] > 0
+
+    offs = spark.read.parquet(os.path.join(tmp, "packs", "assignments"))
+    n_live = offs.count()
+    assert 0 < n_live <= 100
+    # accounting invariants: tokens fit in packs, shards partition docs
+    acct = offs.groupBy("shard").agg(
+        F.sum("n_tok").alias("toks"), (F.max("last_pack") + 1).alias("packs")
+    ).collect()
+    assert sum(r["toks"] for r in acct) == man["n_tokens"]
+    assert all(r["packs"] * 256 >= r["toks"] for r in acct)
