@@ -607,6 +607,10 @@ def _set_arrays_path(df, delta, keys, cell_cols, set_cols, schema, is_w, is_d, o
             F.sort_array(F.collect_list("e")).alias("__es")
         )
         init = F.struct(empty.alias("alive"), empty.alias("removed"))
+        # membership ops (array_union/array_except) don't need sorted
+        # inputs — keep the fold unsorted and sort ONCE on the final
+        # state: per-event sorting was O(m·log m) work repeated m times
+        # per key for an output whose set content is identical
         state = F.aggregate(
             F.col("__es"),
             init,
@@ -616,26 +620,26 @@ def _set_arrays_path(df, delta, keys, cell_cols, set_cols, schema, is_w, is_d, o
                 # deleted_elements entry still wins the equal-timestamp tie
                 # (removal beats addition), matching the elements path
                 F.struct(
-                    F.array_sort(
-                        F.array_except(F.array_distinct(e["add"]), e["rem"])
-                    ).alias("alive"),
-                    F.array_sort(e["rem"]).alias("removed"),
+                    F.array_except(F.array_distinct(e["add"]), e["rem"]).alias(
+                        "alive"
+                    ),
+                    e["rem"].alias("removed"),
                 ),
             ).otherwise(
                 F.struct(
-                    F.array_sort(
-                        F.array_except(F.array_union(acc["alive"], e["add"]), e["rem"])
+                    F.array_except(
+                        F.array_union(acc["alive"], e["add"]), e["rem"]
                     ).alias("alive"),
-                    F.array_sort(
-                        F.array_union(F.array_except(acc["removed"], e["add"]), e["rem"])
+                    F.array_union(
+                        F.array_except(acc["removed"], e["add"]), e["rem"]
                     ).alias("removed"),
                 )
             ),
         )
         folded = per_key.select(
             *keys,
-            state["alive"].alias(f"{c}__alive"),
-            state["removed"].alias(f"{c}__removed"),
+            F.array_sort(state["alive"]).alias(f"{c}__alive"),
+            F.array_sort(state["removed"]).alias(f"{c}__removed"),
         )
         delta = delta.join(folded, on=keys, how="left")
 
