@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "doc_stratified_sample",
     "doc_ngram_contamination",
     "doc_curation_funnel",
+    "engine_changelog",
 ]
 
 

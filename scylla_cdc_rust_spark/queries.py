@@ -1819,6 +1819,124 @@ SELECT (SELECT count(*) FROM corpus)  AS n_total,
 """
 
 
+def q_engine_changelog(spark, sf_dir):
+    """Snapshot changelog (merge.read_changes): replay the derived CDC
+    log in two halves (split at the midpoint timestamp) into a COW
+    merge table — commit v1, then v2 — and emit the incremental
+    changelog between the snapshots.  The oracle computes both final
+    states in SQL and diffs them, so INSERT/UPDATE/DELETE
+    classification, bucket pruning, and the exactly-once composition of
+    delta-merge-onto-v1 ≡ full fold are all checked at once.  The
+    table lives in a fresh tmpdir per invocation (deterministic output;
+    /tmp is ephemeral)."""
+    import tempfile
+
+    from scylla_cdc_rust_spark import model as M
+    from scylla_cdc_rust_spark.functions.decode import decode
+    from scylla_cdc_rust_spark.operators.fold import fold_delta
+    from scylla_cdc_rust_spark.operators.merge import ParquetMergeTable
+
+    log = _cdc_shaped_log(spark, sf_dir)
+    cut = log.agg(
+        ((F.min(M.TIME_MS) + F.max(M.TIME_MS)) / 2).cast("long")
+    ).first()[0]
+    table = ParquetMergeTable(
+        spark, tempfile.mkdtemp(prefix="engine_changelog_"), num_buckets=8
+    )
+    for half in (
+        log.where(F.col(M.TIME_MS) <= cut),
+        log.where(F.col(M.TIME_MS) > cut),
+    ):
+        delta = fold_delta(decode(half), collection_modes={"tokens": "set"})
+        table.merge(
+            delta,
+            payload=["tokens", "n_tok", "source"],
+            collection_modes={"tokens": "set"},
+            assume_all_buckets=True,
+        )
+    ch = table.read_changes(1, 2)
+    return ch.select(
+        "doc_id", _tokens_csv(), "n_tok", "source",
+        F.col("ttl").cast("long").alias("ttl"), "last_ord", "change_type",
+    )
+
+
+def _engine_state_sql(prefix: str, where: str) -> str:
+    """Final-state CTE block over ``log`` restricted by ``where`` —
+    the SQL_ENGINE_CDC_REPLAY body with a filter, prefixed so two
+    states can coexist in one query."""
+    p = prefix
+    return f"""
+{p}per_doc AS (
+  SELECT doc_id,
+         coalesce(max(CASE WHEN base_op IN (3,4) THEN ord END), -1) AS tomb,
+         coalesce(max(CASE WHEN is_ovw THEN ord END), -1)           AS ctomb,
+         max(CASE WHEN base_op IN (1,2) THEN ord END)               AS last_w,
+         arg_max(n_tok,  CASE WHEN base_op IN (1,2) THEN ord END)   AS n_tok,
+         arg_max(source, CASE WHEN base_op IN (1,2) THEN ord END)   AS source
+  FROM log, cutv WHERE {where} GROUP BY doc_id
+),
+{p}ev AS (
+  SELECT doc_id, ord, unnest(tokens) AS elem, 1 AS act
+  FROM log, cutv WHERE tokens IS NOT NULL AND base_op IN (1,2) AND ({where})
+  UNION ALL
+  SELECT doc_id, ord, unnest(del_elems) AS elem, 0 AS act
+  FROM log, cutv WHERE del_elems IS NOT NULL AND base_op IN (1,2) AND ({where})
+),
+{p}per_elem AS (
+  SELECT doc_id, elem,
+         arg_max(act, ord * 2 + (1 - act)) AS last_act,
+         max(ord)                          AS last_ord_e
+  FROM {p}ev GROUP BY doc_id, elem
+),
+{p}alive AS (
+  SELECT p.doc_id, list_sort(list(p.elem)) AS tokens
+  FROM {p}per_elem p JOIN {p}per_doc d ON p.doc_id = d.doc_id
+  WHERE p.last_act = 1 AND p.last_ord_e > d.tomb AND p.last_ord_e >= d.ctomb
+  GROUP BY p.doc_id
+),
+{p}final AS (
+  SELECT d.doc_id,
+         CASE WHEN a.tokens IS NOT NULL
+              THEN array_to_string(a.tokens, ',') END AS tokens,
+         d.n_tok AS n_tok, d.source AS source,
+         d.last_w * 4194304 AS last_ord
+  FROM {p}per_doc d LEFT JOIN {p}alive a ON d.doc_id = a.doc_id
+  WHERE d.last_w > d.tomb
+)"""
+
+
+SQL_ENGINE_CHANGELOG = (
+    _log_cte()
+    + """
+, cutv AS (SELECT CAST((min(ord) + max(ord)) / 2 AS BIGINT) AS cut FROM log),
+"""
+    + _engine_state_sql("a_", "ord <= cut")
+    + ","
+    + _engine_state_sql("b_", "TRUE")
+    + """
+SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+       b.tokens, b.n_tok, b.source,
+       CAST(NULL AS BIGINT) AS ttl, b.last_ord,
+       CASE WHEN a.doc_id IS NULL THEN 'INSERT'
+            WHEN b.doc_id IS NULL THEN 'DELETE'
+            WHEN (a.tokens  IS DISTINCT FROM b.tokens)
+              OR (a.n_tok   IS DISTINCT FROM b.n_tok)
+              OR (a.source  IS DISTINCT FROM b.source)
+              OR (a.last_ord IS DISTINCT FROM b.last_ord)
+            THEN 'UPDATE' END AS change_type
+FROM a_final a FULL OUTER JOIN b_final b ON a.doc_id = b.doc_id
+WHERE CASE WHEN a.doc_id IS NULL THEN 'INSERT'
+           WHEN b.doc_id IS NULL THEN 'DELETE'
+           WHEN (a.tokens  IS DISTINCT FROM b.tokens)
+             OR (a.n_tok   IS DISTINCT FROM b.n_tok)
+             OR (a.source  IS DISTINCT FROM b.source)
+             OR (a.last_ord IS DISTINCT FROM b.last_ord)
+           THEN 'UPDATE' END IS NOT NULL
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -1827,6 +1945,7 @@ QUERIES = {
     "engine_cdc_replay": q_engine_cdc_replay,
     "engine_consumer_replay": q_engine_consumer_replay,
     "engine_salted_replay": q_engine_salted_replay,
+    "engine_changelog": q_engine_changelog,
     "cdc_decode": q_cdc_decode,
     "cdc_fold_scalar": q_cdc_fold_scalar,
     "cdc_fold_set": q_cdc_fold_set,
@@ -1867,6 +1986,7 @@ ORACLE_SQL = {
     "engine_cdc_replay": SQL_ENGINE_CDC_REPLAY,
     "engine_consumer_replay": SQL_ENGINE_CDC_REPLAY,
     "engine_salted_replay": SQL_ENGINE_LIST_REPLAY,
+    "engine_changelog": SQL_ENGINE_CHANGELOG,
     "cdc_decode": SQL_CDC_DECODE,
     "cdc_fold_scalar": SQL_CDC_FOLD_SCALAR,
     "cdc_fold_set": SQL_CDC_FOLD_SET,
