@@ -824,6 +824,7 @@ def fold(
     collection_modes: dict[str, str] | None = None,
     schema: CDCSchema | None = None,
     partition_key: str | list[str] | None = None,
+    set_impl: str = "auto",
 ) -> DataFrame:
     """One-shot batch replay: fold the whole log into final state."""
     keys = [key] if isinstance(key, str) else list(key)
@@ -832,7 +833,7 @@ def fold(
     payload = [c for c in schema.payload if c not in keys]
     delta = fold_delta(
         df, key=key, collection_modes=collection_modes, schema=schema,
-        partition_key=partition_key,
+        partition_key=partition_key, set_impl=set_impl,
     )
     return finalize(delta, key=key, payload=payload, collection_modes=collection_modes)
 
