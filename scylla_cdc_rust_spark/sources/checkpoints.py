@@ -218,4 +218,25 @@ class WatermarkStore:
         # transient store IO retries, fatal propagates (R1/R2); idempotent
         retry_with_backoff(_persist)
         self._state = prev
+        self._prune_snapshots(new_v)
         return new_v
+
+    #: trailing snapshot versions kept on disk — resume only ever reads
+    #: the _VERSION-pointed snapshot, so older dirs are pure history;
+    #: without pruning a 10^10-event replay (one commit per window)
+    #: accumulates unbounded metadata dirs
+    keep_versions: int = 3
+
+    def _prune_snapshots(self, current: int) -> None:
+        cutoff = current - max(1, self.keep_versions)
+        try:
+            names = os.listdir(self.path)
+        except OSError:
+            return
+        for name in names:
+            if not (name.startswith("v") and name[1:].isdigit()):
+                continue
+            if int(name[1:]) <= cutoff:
+                import shutil
+
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)

@@ -295,3 +295,29 @@ def test_batch_never_splits_across_windows(spark, tmp_path):
     stats = replay(spark, cfg, MODES)
     assert stats.n_batches >= 5
     assert_state_equal(visible_state(spark, cfg), oracle_replay(tbl, collection_modes=MODES))
+
+
+def test_watermark_snapshot_pruning(spark, tmp_path):
+    """A long replay (one commit per window) must not accumulate
+    unbounded watermark snapshot dirs: only the trailing keep_versions
+    survive, and resume from the pruned store still works."""
+    from scylla_cdc_rust_spark.sources.checkpoints import WatermarkStore
+
+    tbl = generate_log(LogSpec(n_events=6_000, n_docs=200, seed=71))
+    cfg = make_cfg(str(tmp_path), tbl, window_ms=5_000)  # many windows
+    replay(spark, cfg, MODES)
+
+    ws = WatermarkStore(spark, cfg.watermark_path)
+    v = ws.version()
+    assert v >= 4  # multiple commits happened
+    vdirs = [d for d in os.listdir(cfg.watermark_path)
+             if d.startswith("v") and d[1:].isdigit()]
+    assert len(vdirs) <= WatermarkStore.keep_versions
+    assert f"v{v}" in vdirs
+
+    # resume from the pruned store: nothing re-applied, state intact
+    stats2 = replay(spark, cfg, MODES)
+    assert stats2.n_events == 0
+    assert_state_equal(
+        visible_state(spark, cfg), oracle_replay(tbl, collection_modes=MODES)
+    )
