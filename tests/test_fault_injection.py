@@ -109,7 +109,9 @@ def test_crash_between_merge_and_checkpoint_converges(spark, tmp_path):
     versions = sorted(
         int(d[1:]) for d in os.listdir(cfg.watermark_path) if d.startswith("v")
     )
-    assert len(versions) > 3
+    # snapshot pruning keeps exactly keep_versions (3) trailing dirs —
+    # enough for this 2-version rollback, which is why 3 is the default
+    assert len(versions) == 3
     with open(os.path.join(cfg.watermark_path, "_VERSION"), "w") as f:
         f.write(str(versions[-3]))
 

@@ -95,17 +95,41 @@ def test_continuous_tailing_applies_growing_log(spark, tmp_path):
 
     tbl = generate_log(LogSpec(n_events=6_000, n_docs=200, seed=37))
     tmp = str(tmp_path)
-    # files interleave in time: the safety interval absorbs the lag
-    # between discovery order and event time (the reference's clock-
-    # drift guard) — window_size small enough that windows close early
-    cfg = make_cfg(tmp, tbl, files_per_epoch=8, window_size_ms=50_000)
+    # safety 30s < early half's ~190s span, so windows close from the
+    # initial files; the floor still can't reach the held tail (floor ≤
+    # early_frontier − safety < cut ≤ every held timestamp, always)
+    cfg = make_cfg(
+        tmp, tbl, files_per_epoch=8, window_size_ms=50_000,
+        safety_interval_ms=30_000,
+    )
     ep_dir = os.path.join(cfg.log_path, "epoch=0")
-    files = sorted(os.listdir(ep_dir))
-    held = files[len(files) // 2:]
+    # Hold back the TIME-TAIL of the log (a CDC log grows forward in
+    # time, log_reader.rs polling): split the epoch at the median
+    # timestamp so the release can never land below the applied floor
+    # regardless of host speed — the flaky alternative (holding back
+    # time-interleaved files) races the floor against the wall clock.
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_rust_spark.model import TIME_MS
+
+    full = pq.read_table(ep_dir)
+    times = full.column(TIME_MS)
+    cut = pc.quantile(times, q=0.5).to_pylist()[0]
+    early = full.filter(pc.less(times, int(cut))).sort_by(TIME_MS)
+    late = full.filter(pc.greater_equal(times, int(cut)))
+    shutil.rmtree(ep_dir)
+    os.makedirs(ep_dir)
+    quarter = max(1, early.num_rows // 4)
+    for i in range(4):  # several files → several triggers before growth
+        pq.write_table(
+            early.slice(i * quarter, quarter if i < 3 else None),
+            os.path.join(ep_dir, f"part-e{i}.parquet"),
+        )
     stash = os.path.join(tmp, "stash")
     os.makedirs(stash)
-    for f in held:
-        shutil.move(os.path.join(ep_dir, f), os.path.join(stash, f))
+    pq.write_table(late, os.path.join(stash, "part-late.parquet"))
+    held = ["part-late.parquet"]
 
     r = StreamingReplay(spark, cfg, MODES)
     q = r.run_continuous(poll_interval_s=1.0)
