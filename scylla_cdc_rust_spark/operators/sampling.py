@@ -32,6 +32,27 @@ def sample_hash(id_col: Column | str, mod: int = SAMPLE_MOD) -> Column:
     return word_hash(c.cast("string")) % F.lit(mod)
 
 
+def sample_threshold(
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    default_rate: float = 0.0,
+) -> Column:
+    """Integer keep-threshold (out of SAMPLE_MOD) for a row's stratum:
+    the literal rate map resolved against ``strata_col``, falling back
+    to ``default_rate`` for unlisted strata."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} out of [0,1]: {r}")
+    pairs: list[Column] = []
+    for s, r in sorted(rates.items()):
+        pairs.append(F.lit(s))
+        pairs.append(F.lit(int(round(r * SAMPLE_MOD))))
+    return F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(strata_col)) if pairs else F.lit(None),
+        F.lit(int(round(default_rate * SAMPLE_MOD))),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],
@@ -46,15 +67,5 @@ def stratified_sample(
     selects the SAME rows — the property that makes sampled corpora
     diffable and resumable.  rate=1.0 keeps every row of the stratum.
     """
-    for s, r in rates.items():
-        if not 0.0 <= r <= 1.0:
-            raise ValueError(f"rate for stratum {s!r} out of [0,1]: {r}")
-    pairs: list[Column] = []
-    for s, r in sorted(rates.items()):
-        pairs.append(F.lit(s))
-        pairs.append(F.lit(int(round(r * SAMPLE_MOD))))
-    thresh = F.coalesce(
-        F.element_at(F.create_map(*pairs), F.col(strata_col)) if pairs else F.lit(None),
-        F.lit(int(round(default_rate * SAMPLE_MOD))),
-    )
+    thresh = sample_threshold(rates, strata_col, default_rate)
     return df.where(sample_hash(id_col) < thresh)
