@@ -51,7 +51,7 @@ def pack_ord_col(
 def decode(
     df: DataFrame,
     num_stream_buckets: int | None = None,
-    strict_timeuuid: bool = True,
+    strict_timeuuid: bool | None = None,
 ) -> DataFrame:
     """Add op / is_expiration / ord / end_of_batch (and optionally
     stream_bucket) columns.
@@ -59,8 +59,12 @@ def decode(
     Logs carrying only the raw ``cdc$time`` timeuuid (a real Scylla CDC
     log, consumer.rs:193-194) are normalized first: the Arrow-batched
     ``with_decoded_timeuuid`` derives cdc_time_ms / cdc_time_seq /
-    cdc_clock_seq, with the strict clock-seq collision guard on by
-    default (``strict_timeuuid=False`` opts out).  Synthetic logs that
+    cdc_clock_seq / cdc_node.  Same-tick/different-uuid collisions are
+    resolved by default via the full-uuid seq re-rank
+    (``resolve_clockseq_collisions`` — the reference's complete
+    timeuuid order realized inside the packed ord);
+    ``strict_timeuuid=True`` fails loudly on collision instead, and
+    ``strict_timeuuid=False`` skips the probe.  Synthetic logs that
     already carry the surrogate columns skip this step.
 
     ``end_of_batch`` is the consumer-facing copy of ``cdc$end_of_batch``

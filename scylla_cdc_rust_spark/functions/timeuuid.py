@@ -49,23 +49,25 @@ def timeuuid_to_us(b: pd.Series) -> pd.Series:
     T.StructField("ms", T.LongType()),
     T.StructField("seq", T.LongType()),
     T.StructField("clock_seq", T.LongType()),
+    T.StructField("node", T.LongType()),
 ]))
 def timeuuid_to_ms_seq(b: pd.Series) -> pd.DataFrame:
-    """timeuuid bytes → (ms since epoch, tie-break seq, clock sequence).
+    """timeuuid bytes → (ms since epoch, tie-break seq, clock sequence,
+    node id).
 
     seq = sub-millisecond 100ns ticks (0..9999 < 2^14) — together with
     ms this reconstructs the full 60-bit v1 timestamp, the leading
     component of the reference's timeuuid clustering order
-    (consumer.rs:193-194).  clock_seq is the 14-bit field from bytes
-    8-9 (variant bits masked): the reference compares it AFTER the
-    timestamp, so it only matters when two changes in one stream share
-    the exact 100ns tick.  ord (decode.pack_ord_col) cannot carry it —
-    40ms+14seq+14clock+8batch = 76 bits > one signed long — so the
-    ingest shim surfaces it as a column and ``with_decoded_timeuuid``'s
-    strict mode FAILS LOUDLY if any (stream, tick) carries two distinct
-    clock sequences, instead of silently mis-ordering (or assuming
-    per-node monotonic generators, which real multi-coordinator logs
-    need not satisfy).
+    (consumer.rs:193-194).  clock_seq (14-bit field from bytes 8-9,
+    variant bits masked) and node (48-bit, bytes 10-15) are the
+    remaining uuid bytes the reference compares AFTER the timestamp —
+    they only matter when two changes in one stream share the exact
+    100ns tick.  ord (decode.pack_ord_col) cannot carry them —
+    40ms+14seq+14clock+8batch = 76 bits > one signed long — so
+    ``with_decoded_timeuuid`` resolves collisions by densely re-ranking
+    seq by (seq, clock_seq, node) within each (stream, ms) group
+    (``resolve_clockseq_collisions``), preserving the full-uuid order
+    inside the single packed long; strict mode instead FAILS LOUDLY.
     """
     arr = np.frombuffer(b"".join(b.to_numpy()), dtype=np.uint8).reshape(-1, 16)
     ticks = _ticks_from_bytes(b)
@@ -75,58 +77,148 @@ def timeuuid_to_ms_seq(b: pd.Series) -> pd.DataFrame:
     clock_seq = (
         ((arr[:, 8].astype(np.int64) & 0x3F) << 8) | arr[:, 9].astype(np.int64)
     )
+    node = (
+        (arr[:, 10].astype(np.int64) << 40)
+        | (arr[:, 11].astype(np.int64) << 32)
+        | (arr[:, 12].astype(np.int64) << 24)
+        | (arr[:, 13].astype(np.int64) << 16)
+        | (arr[:, 14].astype(np.int64) << 8)
+        | arr[:, 15].astype(np.int64)
+    )
     return pd.DataFrame(
-        {"ms": ms.astype("int64"), "seq": rem, "clock_seq": clock_seq}
+        {"ms": ms.astype("int64"), "seq": rem, "clock_seq": clock_seq,
+         "node": node}
     )
 
 
 class TimeuuidOrderError(RuntimeError):
-    """Two changes in one stream share the 100ns tick but differ in
-    clock sequence — the packed ord cannot represent the reference's
-    full-timeuuid order (consumer.rs:193-194) for them."""
+    """Two changes in one stream share the 100ns tick but differ in the
+    uuid's clock sequence / node — the packed ord cannot represent the
+    reference's full-timeuuid order (consumer.rs:193-194) for them
+    without the seq re-rank (``resolve_clockseq_collisions``)."""
 
 
-def assert_no_clockseq_collisions(df, stream_col: str | None = None) -> None:
-    """Fail fast if the full-timeuuid order is not representable.
+#: seq is packed into 14 bits of ord (decode.pack_ord_col) — the dense
+#: re-rank may not exceed it
+_SEQ_CAP = (1 << 14) - 1
 
-    One aggregation over the ingest window: group by (stream, ms, seq)
-    and compare min/max clock_seq — map-side combinable min/max, so the
-    check shuffles only one row per distinct tick, never the payload.
-    Raises ``TimeuuidOrderError`` naming the first offending tick.
-    """
-    from scylla_cdc_rust_spark.model import STREAM_ID, TIME_MS, TIME_SEQ
+
+def _uuid_lo(clock_col: str = "cdc_clock_seq", node_col: str = "cdc_node"):
+    """The uuid bytes after the timestamp as one orderable long:
+    clock_seq (14 bits) above node (48 bits) — matches the unsigned
+    byte-lexicographic order of uuid bytes 8..15 at fixed variant."""
+    return F.shiftleft(F.col(clock_col), 48) + F.col(node_col)
+
+
+def _stream_expr(df, stream_col: str | None):
+    from scylla_cdc_rust_spark.model import STREAM_ID
 
     stream_col = stream_col or STREAM_ID
     if stream_col not in df.columns:
         # no stream column ⇒ the window is a single stream's read
         # (stream_reader.rs reads one stream at a time) — compare ticks
         # globally, which is exactly the per-stream rule then
-        stream = F.lit("<single-stream>")
-    else:
-        stream = F.col(f"`{stream_col}`")
-    bad = (
+        return F.lit("<single-stream>")
+    return F.col(f"`{stream_col}`")
+
+
+def _clockseq_collisions(df, stream_col: str | None = None):
+    """Ticks whose full-uuid order the tick alone cannot represent.
+
+    One aggregation over the ingest window: group by (stream, ms, seq)
+    and compare min/max of the post-timestamp uuid bytes — map-side
+    combinable min/max, so the check shuffles only one row per distinct
+    tick, never the payload."""
+    from scylla_cdc_rust_spark.model import TIME_MS, TIME_SEQ
+
+    stream = _stream_expr(df, stream_col)
+    return (
         df.groupBy(stream.alias("__stream"), F.col(TIME_MS), F.col(TIME_SEQ))
         .agg(
-            F.min("cdc_clock_seq").alias("lo"),
-            F.max("cdc_clock_seq").alias("hi"),
+            F.min(_uuid_lo()).alias("lo"),
+            F.max(_uuid_lo()).alias("hi"),
         )
         .where(F.col("lo") != F.col("hi"))
-        .first()
     )
+
+
+def assert_no_clockseq_collisions(df, stream_col: str | None = None) -> None:
+    """Fail fast if the full-timeuuid order is not representable by the
+    tick alone.  Raises ``TimeuuidOrderError`` naming the first
+    offending tick."""
+    bad = _clockseq_collisions(df, stream_col).first()
     if bad is not None:
         raise TimeuuidOrderError(
             f"stream {bad[0]!r} tick (ms={bad[1]}, seq={bad[2]}) carries "
-            f"clock sequences {bad['lo']} and {bad['hi']}; packed ord would "
-            "collapse their order — ingest aborted (reference order is the "
-            "full timeuuid, consumer.rs:193-194)"
+            f"distinct post-timestamp uuid bytes (clock_seq<<48|node "
+            f"{bad['lo']} and {bad['hi']}); packed ord would collapse "
+            "their order (reference order is the full timeuuid, "
+            "consumer.rs:193-194)"
         )
 
 
-def with_decoded_timeuuid(df, uuid_col: str = "cdc$time", strict: bool = True):
-    """Attach cdc_time_ms / cdc_time_seq / cdc_clock_seq decoded from a
-    timeuuid column.  ``strict`` (default) runs the clock-seq collision
-    guard eagerly: logs where the tick alone is not a total order per
-    stream are rejected rather than silently reordered."""
+def resolve_clockseq_collisions(df, stream_col: str | None = None):
+    """Rewrite cdc_time_seq so the packed ord realizes the reference's
+    FULL timeuuid order (consumer.rs:193-194) even when two writers
+    share a 100ns tick.
+
+    Within each (stream, ms) group, seq becomes the dense rank of
+    (seq, clock_seq, node) — i.e. of (60-bit timestamp, remaining uuid
+    bytes), the exact timeuuid comparison the reference's clustering
+    key uses.  Rows of one write batch share the uuid, keep one seq,
+    and stay ordered by cdc$batch_seq_no in ord's low bits.  The remap
+    is stable across micro-batches because windows bound on cdc_time_ms
+    half-open — one (stream, ms) group is never split.  The raw 100ns
+    remainder stays available as ``cdc_time_seq_raw``; µs write-
+    timestamp propagation (``timeuuid_to_us``) reads the uuid directly
+    and is unaffected.
+
+    Cost: one collision probe (map-side-combinable agg, one row per
+    distinct tick) and — only when a collision actually exists — one
+    window over (stream, ms).  Collision-free logs (single writer per
+    stream per tick, the overwhelmingly common case) pay only the probe.
+    """
+    from pyspark.sql import Window
+
+    from scylla_cdc_rust_spark.model import TIME_MS, TIME_SEQ
+
+    if _clockseq_collisions(df, stream_col).first() is None:
+        return df
+    w = Window.partitionBy(
+        _stream_expr(df, stream_col), F.col(TIME_MS)
+    ).orderBy(F.col(TIME_SEQ), _uuid_lo())
+    seq2 = F.dense_rank().over(w).cast("long") - 1
+    return df.withColumn("cdc_time_seq_raw", F.col(TIME_SEQ)).withColumn(
+        TIME_SEQ,
+        F.when(seq2 <= F.lit(_SEQ_CAP), seq2).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "over %d distinct timeuuids inside one (stream, ms) "
+                    "group — seq re-rank does not fit ord's 14-bit field",
+                    F.lit(_SEQ_CAP + 1),
+                )
+            )
+        ),
+    )
+
+
+def with_decoded_timeuuid(
+    df, uuid_col: str = "cdc$time", strict: bool | None = None
+):
+    """Attach cdc_time_ms / cdc_time_seq / cdc_clock_seq / cdc_node
+    decoded from a timeuuid column.
+
+    Collision handling — what happens when two changes in one stream
+    share the exact 100ns tick with different uuids (a node restart
+    bumping clock_seq, or two coordinators on one tick):
+
+    - ``strict=None`` (default): resolve by re-ranking seq in full-uuid
+      order (``resolve_clockseq_collisions``) — the reference's
+      ordering, kept inside the packed ord.
+    - ``strict=True``: fail loudly (``TimeuuidOrderError``) instead of
+      reordering — for operators who want such logs quarantined.
+    - ``strict=False``: assume collision-free, skip the probe entirely.
+    """
     from scylla_cdc_rust_spark.model import TIME_MS, TIME_SEQ
 
     dec = timeuuid_to_ms_seq(F.col(f"`{uuid_col}`"))
@@ -137,10 +229,13 @@ def with_decoded_timeuuid(df, uuid_col: str = "cdc$time", strict: bool = True):
                 TIME_MS: F.col("__tu.ms"),
                 TIME_SEQ: F.col("__tu.seq"),
                 "cdc_clock_seq": F.col("__tu.clock_seq"),
+                "cdc_node": F.col("__tu.node"),
             }
         )
         .drop("__tu")
     )
-    if strict:
+    if strict is True:
         assert_no_clockseq_collisions(out)
+    elif strict is None:
+        out = resolve_clockseq_collisions(out)
     return out

@@ -365,9 +365,9 @@ def _v1_uuid(ticks_unix_100ns: int, clock_seq: int) -> bytes:
 
 def test_timeuuid_clock_seq_fidelity(spark):
     """The reference orders by the FULL timeuuid (consumer.rs:193-194);
-    the packed ord carries (tick, batch) only, so ingest must either be
-    collision-free or fail loudly — never silently collapse two changes
-    that differ only in clock sequence."""
+    the packed ord carries (tick, batch) only, so same-tick collisions
+    are resolved by re-ranking seq in full-uuid order (default), or
+    rejected loudly under strict=True — never silently collapsed."""
     import pytest
 
     from scylla_cdc_rust_spark.functions.timeuuid import (
@@ -385,21 +385,69 @@ def test_timeuuid_clock_seq_fidelity(spark):
     assert [r["cdc_clock_seq"] for r in dec] == [5000, 4999, 4998, 4997]
     keys = [(r["cdc_time_ms"], r["cdc_time_seq"]) for r in dec]
     assert keys == sorted(keys) and len(set(keys)) == 4
-    # same tick in one stream, different clock seq: loud failure
+    # same tick in one stream, different clock seq: strict mode refuses
     bad = spark.createDataFrame(
-        [("s1", _v1_uuid(t0, 100)), ("s1", _v1_uuid(t0, 200))],
+        [("s1", _v1_uuid(t0, 200)), ("s1", _v1_uuid(t0, 100))],
         "`cdc$stream_id` string, `cdc$time` binary",
     )
-    with pytest.raises(TimeuuidOrderError, match="clock sequences"):
+    with pytest.raises(TimeuuidOrderError, match="uuid bytes"):
         with_decoded_timeuuid(bad, strict=True)
-    # same tick in DIFFERENT streams: never compared — allowed
+    # DEFAULT mode resolves the collision: seq re-ranked so ord order ==
+    # full-uuid order (clock 100 sorts before clock 200); the raw 100ns
+    # remainder is preserved alongside
+    res = {r["cdc_clock_seq"]: r for r in with_decoded_timeuuid(bad).collect()}
+    assert res[100]["cdc_time_seq"] < res[200]["cdc_time_seq"]
+    assert res[100]["cdc_time_seq_raw"] == res[200]["cdc_time_seq_raw"] == 0
+    assert res[100]["cdc_time_ms"] == res[200]["cdc_time_ms"]
+    # same tick in DIFFERENT streams: never compared — allowed, and the
+    # default mode leaves collision-free frames untouched (no re-rank)
     cross = spark.createDataFrame(
         [("s1", _v1_uuid(t0, 100)), ("s2", _v1_uuid(t0, 200))],
         "`cdc$stream_id` string, `cdc$time` binary",
     )
     assert with_decoded_timeuuid(cross, strict=True).count() == 2
-    # strict=False: caller opts out (synthetic logs carry ms/seq directly)
+    assert "cdc_time_seq_raw" not in with_decoded_timeuuid(cross).columns
+    # strict=False: skip the probe entirely (synthetic-log fast path)
     assert with_decoded_timeuuid(bad, strict=False).count() == 2
+
+
+def test_clock_seq_bump_replay(spark):
+    """engine_cdc_replay-shaped gate on a log containing a clock-seq
+    bump: two writers hit the same 100ns tick (a node restart bumps
+    clock_seq mid-tick); the reference orders their changes by the full
+    timeuuid (consumer.rs:193-194) — higher clock_seq is later and must
+    win LWW, per cell, with batch rows staying grouped per uuid."""
+    from scylla_cdc_rust_spark.functions.decode import decode
+    from scylla_cdc_rust_spark.operators.fold import fold
+
+    t0 = 1_700_000_000_000_000 * 10
+    rows = [
+        # doc 1 insert at an earlier tick
+        ("s1", _v1_uuid(t0, 500), 0, 2, 1, 1, None),
+        # same LATER tick, two writers: clock 100 writes (v=10, w=1) as a
+        # 2-row batch; clock 200 (the bump — later in uuid order) writes
+        # v=20 only.  Full-uuid LWW: v=20 (clock 200 wins), w=1 (only
+        # mentioned by clock 100's batch).
+        ("s1", _v1_uuid(t0 + 7, 100), 0, 1, 10, None, None),
+        ("s1", _v1_uuid(t0 + 7, 100), 1, 1, None, None, 1),
+        ("s1", _v1_uuid(t0 + 7, 200), 0, 1, 20, None, None),
+        # doc 2: delete (clock 300) vs insert (clock 50) on one tick —
+        # the delete is later in uuid order, so the doc stays dead
+        ("s2", _v1_uuid(t0 + 9, 50), 0, 2, 7, 2, None),
+        ("s2", _v1_uuid(t0 + 9, 300), 0, 3, None, 2, None),
+    ]
+    rows = [(s, u, b, op, None, v, d if d is not None else 1, w)
+            for (s, u, b, op, v, d, w) in rows]
+    df = spark.createDataFrame(
+        rows,
+        "`cdc$stream_id` string, `cdc$time` binary, `cdc$batch_seq_no` int,"
+        " `cdc$operation` int, `cdc$ttl` long, v int, doc_id int, w int",
+    )
+    final = {r["doc_id"]: r for r in fold(
+        decode(df), collection_modes={}
+    ).collect()}
+    assert set(final) == {1}
+    assert final[1]["v"] == 20 and final[1]["w"] == 1
 
 
 def test_decode_raw_timeuuid_log_end_to_end(spark):
