@@ -29,32 +29,15 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "2000000"))
 N_DOCS = int(os.environ.get("BENCH_CDC_DOCS", "200000"))
 
-BENCH_QUERIES = [
-    "engine_cdc_replay",
-    "cdc_fold_scalar",
-    "cdc_fold_set",
-    "cdc_fold_udt",
-    "cdc_fold_map",
-    "cdc_fold_list_delta",
-    "cdc_partition_delete",
-    "cdc_image_pairs",
-    "cdc_dedup_replay",
-    "cdc_window_scan",
-    "doc_token_count",
-    "doc_exact_dedup",
-    "doc_quality_score",
-    "doc_minhash_signatures",
-    "doc_simhash",
-    "doc_fingerprint",
-    "emb_cosine_topk",
-    "emb_lsh_buckets",
-    "emb_ivf_topk",
-    "doc_simhash_neardups",
-    "doc_stratified_sample",
-    "doc_ngram_contamination",
-    "doc_curation_funnel",
-    "engine_changelog",
-]
+# every driver-gate query is timed (VERDICT r3 #3: an untimed query is
+# an invisible regression); populated from the registry at runtime so a
+# new queries.py entry can never be silently missing here
+BENCH_QUERIES: list[str] = []  # filled in main() from queries.QUERIES
+
+#: per-query repetitions inside the ONE warm JVM; the median is
+#: reported.  The sandbox host drifts ±40% across runs (BENCH.md), so
+#: cross-run comparisons need medians of same-session samples.
+QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "3"))
 
 
 def log(*a):
@@ -184,15 +167,24 @@ def main() -> None:
         extras["replay_setmode_events_per_sec"] = round(eps_s)
         log(f"replay[set] local[{CPUS}]: {sec_s:.1f}s  {eps_s:,.0f} events/s")
 
-        # operator queries on driver testdata
+        # operator queries on driver testdata: ALL registered queries,
+        # median of QUERY_REPS runs each, one warm JVM (build + exec
+        # timed together — plan-build cost is part of query latency)
         from scylla_cdc_rust_spark.queries import QUERIES
 
-        for name in BENCH_QUERIES:
-            t0 = time.time()
-            n = QUERIES[name](spark, SF_DIR).count()
-            dt = time.time() - t0
+        names = BENCH_QUERIES or list(QUERIES)
+        for name in names:
+            samples = []
+            n = None
+            for _ in range(QUERY_REPS):
+                t0 = time.time()
+                n = QUERIES[name](spark, SF_DIR).count()
+                samples.append(time.time() - t0)
+            samples.sort()
+            dt = samples[len(samples) // 2]
             results[name] = round(dt, 3)
-            log(f"{name}: {dt:.2f}s ({n} rows)")
+            log(f"{name}: median {dt:.2f}s of {[round(s, 2) for s in samples]}"
+                f" ({n} rows)")
         spark.stop()
 
         if scaling:
