@@ -23,6 +23,23 @@ from pyspark.sql import functions as F
 
 from scylla_cdc_rust_spark.functions.text import M31, word_hash
 
+#: persisted (bucket, member) projections registered by cap_buckets —
+#: released on the next cap_buckets call and via release_guard_caches()
+_GUARD_CACHES: list[DataFrame] = []
+
+
+def release_guard_caches() -> int:
+    """Unpersist every hot-bucket-guard cache registered by
+    ``cap_buckets``; returns how many were released.  Call after the
+    candidate join of a dedup/ANN query has materialized (bench loops,
+    long sessions).  Safe at any time: unpersisting a frame another
+    in-flight query still reads only forfeits the cache reuse — Spark
+    recomputes evicted blocks — never correctness."""
+    n = len(_GUARD_CACHES)
+    while _GUARD_CACHES:
+        _GUARD_CACHES.pop().unpersist()
+    return n
+
 
 def cap_buckets(
     buckets: DataFrame,
@@ -54,10 +71,19 @@ def cap_buckets(
     upstream (signature aggregates, explodes) re-evaluates up to 4×.
     At 100 TB the cached set is one slim (bucket, member) projection —
     spilling it locally is far cheaper than recomputing signatures.
+
+    Cache lifecycle: the persisted handle is registered module-wide;
+    the NEXT cap_buckets call releases it (by then the previous query's
+    action has run in a sequential session), and
+    ``release_guard_caches()`` releases all of them explicitly — so a
+    session-long loop of dedup queries holds at most one guard cache at
+    a time instead of accumulating one per query.
     """
     from pyspark import StorageLevel
 
+    release_guard_caches()
     buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+    _GUARD_CACHES.append(buckets)
     hot = (
         buckets.groupBy(*bucket_cols)
         .agg(F.count(F.lit(1)).alias("__n"))

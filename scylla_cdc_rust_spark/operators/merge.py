@@ -441,31 +441,55 @@ class ParquetMergeTable:
                     shutil.rmtree(vdir, ignore_errors=True)
 
 
-class IcebergMergeTable:  # pragma: no cover - requires Iceberg runtime jars
-    """The production sink: identical contract via Iceberg MERGE INTO.
+class IcebergMergeTable:
+    """The production sink: the replicator's apply step as an Iceberg
+    ``MERGE INTO`` (SURVEY §1.3 maps the destination to Iceberg; the
+    reference's replicator writes to a real second cluster,
+    replicator_consumer.rs:866-883).
 
-    Kept import-gated: the sandbox has no Iceberg jars.  The MERGE below
-    is the SQL form of operators.fold.apply_delta's projection.
+    Input contract — one FINALIZED row per key plus ``is_deleted``
+    (``finalize(fold_delta(batch))`` shape): insert when new, LWW-gated
+    update when the delta's ``last_ord`` is not stale (the same
+    staleness rule as ``apply_delta``/R6, making re-merges of a
+    replayed window idempotent), delete on tombstone.
+
+    Requires the Iceberg runtime jars + a configured Spark catalog —
+    neither exists in this sandbox, so construction raises
+    ``NotImplementedError`` with the probe result, and the integration
+    contract test (tests/test_iceberg.py) skips cleanly here and runs
+    for real wherever the jars are present.
     """
 
     def __init__(self, spark: SparkSession, table: str, key: str = "doc_id"):
+        catalog = table.split(".", 1)[0] if "." in table else "spark_catalog"
         try:
-            spark.sql("SELECT 1").collect()
-            spark.conf.get("spark.sql.catalog.spark_catalog")
-        except Exception as e:  # noqa: BLE001
+            impl = spark.conf.get(f"spark.sql.catalog.{catalog}")
+        except Exception:  # noqa: BLE001 - missing conf key
+            impl = None
+        if not impl or "iceberg" not in impl.lower():
             raise NotImplementedError(
-                "Iceberg catalog not configured in this environment"
-            ) from e
+                f"no Iceberg catalog at spark.sql.catalog.{catalog} "
+                f"(found: {impl!r}) — configure the iceberg-spark-runtime "
+                "jar and a SparkCatalog to use this sink; the parquet COW "
+                "sink (ParquetMergeTable) is the jar-free equivalent"
+            )
         self.spark, self.table, self.key = spark, table, key
 
     def merge(self, delta: DataFrame) -> None:
+        cols = [c for c in delta.columns if c != "is_deleted"]
+        sets = ", ".join(f"t.{c} = d.{c}" for c in cols)
+        names = ", ".join(cols)
+        vals = ", ".join(f"d.{c}" for c in cols)
+        fresh = "(t.last_ord IS NULL OR d.last_ord >= t.last_ord)"
         delta.createOrReplaceTempView("__cdc_delta")
         self.spark.sql(
             f"""
             MERGE INTO {self.table} t
             USING __cdc_delta d ON t.{self.key} = d.{self.key}
-            WHEN MATCHED AND d.is_deleted THEN DELETE
-            WHEN MATCHED THEN UPDATE SET *
-            WHEN NOT MATCHED AND NOT d.is_deleted THEN INSERT *
+            WHEN MATCHED AND d.is_deleted AND {fresh} THEN DELETE
+            WHEN MATCHED AND NOT d.is_deleted AND {fresh}
+                THEN UPDATE SET {sets}
+            WHEN NOT MATCHED AND NOT d.is_deleted
+                THEN INSERT ({names}) VALUES ({vals})
             """
         )

@@ -60,6 +60,30 @@ def test_minhash_lsh_finds_injected_near_dups(spark, docs):
     assert deduped.where(F.col("doc_id") >= 500_000).count() == 0
 
 
+def test_guard_caches_released_in_session_loop(spark, docs):
+    """cap_buckets persists its (bucket, member) projection; a session
+    looping over dedup queries must not accumulate one cache per query
+    (VERDICT r3 #6): each cap_buckets call releases its predecessor and
+    release_guard_caches() drains the last one."""
+    from scylla_cdc_rust_spark.operators.dedup_docs import (
+        minhash_lsh_dedup,
+        release_guard_caches,
+        simhash_near_dups,
+    )
+
+    release_guard_caches()
+    jsc = spark.sparkContext._jsc.sc()
+    baseline = jsc.getPersistentRDDs().size()
+    small = docs.where(F.col("doc_id") < 40)
+    for _ in range(2):
+        minhash_lsh_dedup(small, jaccard_threshold=0.7).count()
+        simhash_near_dups(small).count()
+        # at most ONE guard cache outstanding at any point in the loop
+        assert jsc.getPersistentRDDs().size() <= baseline + 1
+    assert release_guard_caches() == 1
+    assert jsc.getPersistentRDDs().size() == baseline
+
+
 def test_lsh_hot_bucket_guard_bounds_pairs(spark):
     """Pathological constant-text corpus: every doc lands in ONE LSH
     bucket per band.  The cap salts the mega-bucket into sub-buckets so
