@@ -185,6 +185,32 @@ def main() -> None:
             results[name] = round(dt, 3)
             log(f"{name}: median {dt:.2f}s of {[round(s, 2) for s in samples]}"
                 f" ({n} rows)")
+
+        # production-hash decontamination (hash_impl='xxhash64'): no
+        # DuckDB oracle (JVM-only hash) — correctness is pinned by the
+        # portable-vs-xxhash64 parity pytest; timed here so the fast
+        # path has regression visibility (VERDICT r3 #5)
+        from pyspark.sql import functions as SF
+
+        from scylla_cdc_rust_spark.operators.decontam import ngram_contamination
+        from scylla_cdc_rust_spark.operators.sampling import sample_hash
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        bench_flag = sample_hash("doc_id", 16) == SF.lit(0)
+        samples = []
+        for _ in range(QUERY_REPS):
+            t0 = time.time()
+            ngram_contamination(
+                docs.where(~bench_flag), docs.where(bench_flag),
+                n=3, hash_impl="xxhash64",
+            ).count()
+            samples.append(time.time() - t0)
+        samples.sort()
+        results["doc_ngram_contamination_xxh"] = round(
+            samples[len(samples) // 2], 3
+        )
+        log(f"doc_ngram_contamination_xxh: median "
+            f"{results['doc_ngram_contamination_xxh']:.2f}s")
         spark.stop()
 
         if scaling:

@@ -22,14 +22,25 @@ from pyspark.sql import functions as F
 SAMPLE_MOD = 1_000_000
 
 
-def sample_hash(id_col: Column | str, mod: int = SAMPLE_MOD) -> Column:
-    """Portable uniform hash of a row id into [0, mod) — the repo-wide
-    md5-prefix word hash (functions.text.word_hash, mod-M31-reduced so
-    Spark and DuckDB agree) applied to the id's string form."""
+def sample_hash(
+    id_col: Column | str, mod: int = SAMPLE_MOD, hash_impl: str = "portable"
+) -> Column:
+    """Uniform hash of a row id into [0, mod).
+
+    ``"portable"`` (default): the repo-wide md5-prefix word hash
+    (functions.text.word_hash, mod-M31-reduced so Spark and DuckDB
+    agree) applied to the id's string form — the oracle-checkable mode.
+    ``"xxhash64"``: production mode, one cheap JVM hash; selects a
+    different but statistically-equivalent sample (same rates, same
+    determinism/reproducibility guarantees)."""
     from scylla_cdc_rust_spark.functions.text import word_hash
 
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return word_hash(c.cast("string")) % F.lit(mod)
+    if hash_impl == "portable":
+        return word_hash(c.cast("string")) % F.lit(mod)
+    if hash_impl == "xxhash64":
+        return F.pmod(F.xxhash64(c.cast("string")), F.lit(mod))
+    raise ValueError(f"unknown hash_impl: {hash_impl!r}")
 
 
 def sample_threshold(
@@ -59,6 +70,7 @@ def stratified_sample(
     strata_col: str = "lang",
     id_col: str = "doc_id",
     default_rate: float = 0.0,
+    hash_impl: str = "portable",
 ) -> DataFrame:
     """Keep each stratum at its configured rate, deterministically.
 
@@ -66,6 +78,8 @@ def stratified_sample(
     keep ``default_rate``.  Rerunning (or running on another engine)
     selects the SAME rows — the property that makes sampled corpora
     diffable and resumable.  rate=1.0 keeps every row of the stratum.
+    ``hash_impl="xxhash64"`` swaps in the production hash (see
+    ``sample_hash``) — still deterministic, different selection.
     """
     thresh = sample_threshold(rates, strata_col, default_rate)
-    return df.where(sample_hash(id_col) < thresh)
+    return df.where(sample_hash(id_col, hash_impl=hash_impl) < thresh)

@@ -137,6 +137,11 @@ def curation_funnel(
     per-shard cumulative sum is taken over all docs with non-sampled
     rows contributing zero, which equals the sampled-only stream.
     """
+    from scylla_cdc_rust_spark.session import ensure_min_parallelism
+
+    # the tagged projection stacks quality scoring + digest + n-gram
+    # hashing on the scan — fan small inputs out first (no-op at scale)
+    docs = ensure_min_parallelism(docs)
     sampling_active = bool(sample_rates) or default_rate < 1.0
     idc = F.col(id_col)
     cols = [

@@ -27,6 +27,14 @@ def get_spark(
         # AQE coalesces post-shuffle stages to ~64MB partitions, capping
         # mid-size jobs at the same parallelism regardless of core count
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # AQE's local shuffle reader re-aligns reduce partitions to the
+        # MAP layout under broadcast joins — which un-does an explicit
+        # fan-out repartition (a 1-file scan collapses back to 1 task
+        # with heavy projections above it; measured 4.4s vs 1.2s on the
+        # decontamination probe).  It exists to avoid network reads on
+        # a cluster; in local mode every read is local, so it can only
+        # cost parallelism here
+        .config("spark.sql.adaptive.localShuffleReader.enabled", "false")
         # smaller input splits: snappy parquet of int-array payloads packs
         # ~40 events/KB, so a 128MB split is ~5M events — far too coarse to
         # keep 32 threads busy on epoch-sliced scans (map-side decode +
@@ -44,3 +52,20 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_min_parallelism(df, min_partitions: int | None = None):
+    """Fan a small scan out to the session's cores.
+
+    A single sub-split parquet file scans as ONE task, serializing any
+    compute-heavy projection stacked on it (n-gram explodes spend
+    seconds per MB).  When the input has fewer partitions than the
+    session's parallelism, repartition up — a round-robin shuffle of a
+    small input is microseconds; when the input is already wide (the
+    100 TB case: partitions >> cores) this is a structural no-op, so
+    production plans keep their scan-aligned, shuffle-free shape.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
