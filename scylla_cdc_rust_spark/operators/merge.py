@@ -163,8 +163,16 @@ class ParquetMergeTable:
 
         Scale shape: only buckets whose manifest pointer changed are
         read on either side (manifest diff prunes the rest), and the
-        two sides join co-partitioned on the merge key — the cost is
-        O(|changed buckets|), independent of table size.  The engine
+        two sides are combined WITHOUT a join: both snapshots stream
+        into one tagged union and a single per-key hash aggregate picks
+        each side's row — one exchange over the pruned buckets, no
+        exchange on either snapshot side, no sort (the full-outer SMJ
+        this replaces cost 2 exchanges + 2 sorts).  The cost is
+        O(|changed buckets|), independent of table size.  The one
+        remaining exchange is inherent to vanilla-Spark parquet reads
+        (the scan cannot report its bucket partitioning); on the real
+        Iceberg sink the same diff runs exchange-free via
+        storage-partitioned joins on the bucket transform.  The engine
         therefore both consumes CDC and can emit CDC downstream.
         """
         cb = self.changed_buckets(v_from, v_to)
@@ -203,9 +211,27 @@ class ParquetMergeTable:
                 cols.append(col.alias(c))
             return df.select(F.col(self.key), F.struct(*cols).alias("__s"))
 
-        o = pad(old, otypes).withColumnRenamed("__s", "__old")
-        nw = pad(new, ntypes).withColumnRenamed("__s", "__new")
-        j = o.join(nw, self.key, "full_outer")
+        o = pad(old, otypes).select(
+            self.key, F.lit(False).alias("__is_new"), "__s"
+        )
+        nw = pad(new, ntypes).select(
+            self.key, F.lit(True).alias("__is_new"), "__s"
+        )
+        # full-outer-by-aggregation: each visible side has ≤1 row per
+        # key, so first(ignorenulls) over the tagged union reconstructs
+        # the (old, new) pair with one map-side-combinable aggregate
+        j = (
+            o.unionByName(nw)
+            .groupBy(self.key)
+            .agg(
+                F.first(F.when(~F.col("__is_new"), F.col("__s")), True).alias(
+                    "__old"
+                ),
+                F.first(F.when(F.col("__is_new"), F.col("__s")), True).alias(
+                    "__new"
+                ),
+            )
+        )
         return (
             j.withColumn(
                 "change_type",
