@@ -1141,6 +1141,113 @@ WHERE round(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 4) > 0.01
 """
 
 
+def q_doc_dedup_clusters(spark, sf_dir):
+    """Corpus-level near-dup CLUSTERS (operators/dedup_docs.dedup_clusters):
+    2-gram-shingle Jaccard pairs (≥ 0.5, whole corpus) resolved into
+    connected components by alternating large-star/small-star
+    contraction — all joins, no driver graph.  This is the transitive
+    stage pairwise dedup lacks: A~B~C collapses to one cluster with
+    cluster_id = min member even when (A, C) was never a candidate
+    pair.  The oracle replays the same pairs through a recursive-CTE
+    min-label closure.  Pair generation here is the oracle-checkable
+    brute-force tier; the production feed is minhash_lsh_candidates →
+    dedup_clusters (pytest-pinned), where candidates are bucketed, not
+    all-pairs.  Stop-shingles (document frequency > 50) are trimmed
+    before the join — the standard move that keeps the per-shingle
+    pair blowup bounded (a shingle in f docs contributes f² join rows)
+    — via a broadcast anti-join on the SMALL hot set, so the shingle
+    stream itself is never shuffled for the trim."""
+    from scylla_cdc_rust_spark.operators.dedup_docs import dedup_clusters
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh_all = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(split(text,' ')) - 2), "
+                    "i -> concat(split(text,' ')[i], '_', split(text,' ')[i+1]))"
+                )
+            )
+        ).alias("sh"),
+    )
+    hot = sh_all.groupBy("sh").agg(F.count("*").alias("df")).where(F.col("df") > 50)
+    sh = sh_all.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), (F.col("x.sh") == F.col("y.sh")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    pairs = (
+        inter.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
+        .where(
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("inter")).cast("double"),
+                4,
+            )
+            >= 0.5
+        )
+        .select("d1", "d2")
+    )
+    cl = dedup_clusters(pairs)
+    from pyspark.sql import Window as W
+
+    return cl.select(
+        F.col("d1").alias("doc_id"),
+        "cluster_id",
+        F.count("*").over(W.partitionBy("cluster_id")).cast("long").alias(
+            "cluster_size"
+        ),
+    )
+
+
+SQL_DOC_DEDUP_CLUSTERS = """
+WITH RECURSIVE docs AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sh_all AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(ws) - 1),
+                i -> ws[i] || '_' || ws[i + 1]))) AS sh
+  FROM docs
+),
+hot AS (SELECT sh FROM sh_all GROUP BY sh HAVING count(*) > 50),
+sh AS (
+  SELECT a.* FROM sh_all a LEFT JOIN hot h USING (sh) WHERE h.sh IS NULL
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
+  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+pairs AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes s1 ON s1.doc_id = d1
+  JOIN sizes s2 ON s2.doc_id = d2
+  WHERE round(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 4) >= 0.5
+),
+edges AS (
+  SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+  WHERE w.label < e.v
+),
+cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM cc
+"""
+
+
 def q_doc_simhash(spark, sf_dir):
     """SimHash (16-bit) document fingerprints, bucketed — the other
     classic near-dup sketch."""
@@ -1969,6 +2076,7 @@ QUERIES = {
     "doc_lang_id": q_doc_lang_id,
     "doc_minhash_signatures": q_doc_minhash_signatures,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_simhash": q_doc_simhash,
     "doc_simhash_neardups": q_doc_simhash_neardups,
     "doc_fingerprint": q_doc_fingerprint,
@@ -2010,6 +2118,7 @@ ORACLE_SQL = {
     "doc_lang_id": SQL_DOC_LANG_ID,
     "doc_minhash_signatures": SQL_DOC_MINHASH_SIGNATURES,
     "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
+    "doc_dedup_clusters": SQL_DOC_DEDUP_CLUSTERS,
     "doc_simhash": SQL_DOC_SIMHASH,
     "doc_simhash_neardups": SQL_DOC_SIMHASH_NEARDUPS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,

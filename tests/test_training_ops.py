@@ -60,6 +60,64 @@ def test_minhash_lsh_finds_injected_near_dups(spark, docs):
     assert deduped.where(F.col("doc_id") >= 500_000).count() == 0
 
 
+def test_dedup_clusters_connected_components(spark):
+    """Star-contraction clustering (dedup_docs.dedup_clusters): chains,
+    cliques and disjoint components all collapse to min-member clusters
+    — the transitivity pairwise dedup lacks (A~B~C with no (A,C) pair
+    must still form one cluster)."""
+    from scylla_cdc_rust_spark.operators.dedup_docs import dedup_clusters
+
+    # chain 1-2-3-4-5, clique {10,11,12}, pair {20,21}, duplicate+reversed
+    # edges, self-loop noise
+    pairs = [(1, 2), (2, 3), (3, 4), (5, 4),
+             (10, 11), (11, 12), (10, 12), (12, 10),
+             (20, 21), (21, 20), (7, 7)]
+    df = spark.createDataFrame(pairs, "d1 long, d2 long")
+    got = {r["d1"]: r["cluster_id"]
+           for r in dedup_clusters(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    # pathological long chain (worst case for label propagation —
+    # star contraction converges logarithmically)
+    n = 200
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "d1 long, d2 long"
+    )
+    cl = dedup_clusters(chain)
+    assert cl.where(F.col("cluster_id") != 0).count() == 0
+    assert cl.count() == n + 1
+
+    # empty input → empty output, no iteration blow-up
+    assert dedup_clusters(df.where(F.lit(False))).count() == 0
+
+
+def test_dedup_clusters_from_lsh_candidates(spark, docs):
+    """Production feed: MinHash-LSH candidate pairs (bucketed, never
+    all-pairs) → star-contraction clusters.  Injected clones of one doc
+    must land in ONE cluster with the original as its minimum."""
+    from scylla_cdc_rust_spark.operators.dedup_docs import (
+        dedup_clusters,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    small = docs.where(F.col("doc_id") < 30)
+    clones = [
+        small.limit(1).select(
+            (F.col("doc_id") + off).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" tail{off}")).alias("text"),
+            "lang", "source", "n_chars",
+        )
+        for off in (500_000, 600_000)
+    ]
+    all_docs = small.unionByName(clones[0]).unionByName(clones[1])
+    cands = minhash_lsh_candidates(minhash_signatures(all_docs))
+    cl = {r["d1"]: r["cluster_id"] for r in dedup_clusters(cands).collect()}
+    # doc 0 and both clones share one cluster rooted at the original
+    assert cl.get(500_000) == cl.get(600_000) == cl.get(0, 0) == 0
+
+
 def test_hash_impl_parity_portable_vs_xxhash64(spark, docs):
     """The production xxhash64 mode must select statistically-equivalent
     (not identical) sets to the oracle-portable md5 mode (VERDICT r3
