@@ -188,7 +188,11 @@ def test_guard_caches_released_in_session_loop(spark, docs):
         # at most ONE guard cache outstanding at any point in the loop
         assert jsc.getPersistentRDDs().size() <= baseline + 1
     assert release_guard_caches() == 1
-    assert jsc.getPersistentRDDs().size() == baseline
+    # other suite tests' stale caches may be reaped by the ContextCleaner
+    # while this test runs, so the floor can drop below the recorded
+    # baseline — assert no NET growth and that our handle is truly gone
+    assert jsc.getPersistentRDDs().size() <= baseline
+    assert release_guard_caches() == 0
 
 
 def test_lsh_hot_bucket_guard_bounds_pairs(spark):
