@@ -37,12 +37,26 @@ def pack_ord_col(
     time_seq: Column | str = TIME_SEQ,
     batch_seq: Column | str = BATCH_SEQ,
 ) -> Column:
-    """(time_ms << 22) | (time_seq << 8) | batch_seq — see model.pack_ord_py."""
+    """(time_ms << 22) | (time_seq << 8) | batch_seq — see model.pack_ord_py.
+
+    Timestamps below ORD_BASE_MS fail LOUDLY: they would pack to a
+    negative ord, silently breaking the fold's NEG_INF tombstone
+    sentinel (ord values are assumed non-negative throughout)."""
     from scylla_cdc_rust_spark.model import ORD_BASE_MS
 
     c = lambda x: F.col(x) if isinstance(x, str) else x  # noqa: E731
+    ms = c(time_ms).cast("long")
+    rel = F.when(ms >= F.lit(ORD_BASE_MS), ms - F.lit(ORD_BASE_MS)).otherwise(
+        F.raise_error(
+            F.format_string(
+                "cdc_time_ms %s predates ORD_BASE_MS "
+                f"({ORD_BASE_MS}) — packed ord would go negative",
+                ms.cast("string"),
+            )
+        )
+    )
     return (
-        F.shiftleft(c(time_ms).cast("long") - F.lit(ORD_BASE_MS), 22)
+        F.shiftleft(rel, 22)
         + F.shiftleft(c(time_seq).cast("long"), 8)
         + c(batch_seq).cast("long")
     ).alias(ORD)

@@ -732,3 +732,55 @@ def test_scale_plan_shapes(spark, docs):
     # feeding the join probe (the probe side must read straight through)
     import re
     assert not re.search(r"SortMergeJoin|ShuffledHashJoin", cont_plan)
+    # the explode must not drag the gram ARRAY through every exploded
+    # row (O(grams²)/doc): n_ngrams is projected below the Generate
+    gen = [l for l in cont_plan.splitlines() if "Generate explode" in l
+           and "n_ngrams" in l]
+    assert gen and all("gs" not in l.split("], ")[0].split(", [")[-1]
+                       for l in gen)
+
+
+def test_funnel_and_changelog_plan_shapes(spark, docs, tmp_path):
+    """Round-4 plan pins: the curation funnel's single-pass accounting
+    reads the corpus parquet exactly ONCE per side (2 FileScans total,
+    vs one per .count() in the naive form), and the snapshot-changelog
+    diff has no join and exactly one exchange (tagged-union aggregate,
+    nothing on the snapshot sides)."""
+    from scylla_cdc_rust_spark.operators.sampling import sample_hash
+    from scylla_cdc_rust_spark.plans.curation import curation_funnel
+
+    is_bench = sample_hash("doc_id", 16) == 0
+    plan = curation_funnel(
+        docs.where(~is_bench), benchmark=docs.where(is_bench),
+        quality_min=0.3, contamination_max=0.05, ngram_n=3,
+        sample_rates={"en": 0.5}, default_rate=0.8,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 2
+    import re
+    assert not re.search(r"SortMergeJoin|ShuffledHashJoin", plan)
+
+    from scylla_cdc_rust_spark.operators.merge import ParquetMergeTable
+    from scylla_cdc_rust_spark.operators.fold import fold_delta
+
+    t0 = 1_600_000_000_000
+    log = spark.createDataFrame(
+        [("s", t0 + i, 0, 0, 2, None, str(i % 7), [i], 1, "w")
+         for i in range(40)],
+        "`cdc$stream_id` string, cdc_time_ms long, cdc_time_seq long,"
+        " `cdc$batch_seq_no` int, `cdc$operation` int, `cdc$ttl` long,"
+        " doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    from scylla_cdc_rust_spark.functions.decode import decode
+
+    t = ParquetMergeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    dec = decode(log)
+    t.merge(fold_delta(dec.where(F.col("cdc_time_ms") < t0 + 20),
+                       collection_modes={"tokens": "list"}),
+            collection_modes={"tokens": "list"})
+    t.merge(fold_delta(dec.where(F.col("cdc_time_ms") >= t0 + 20),
+                       collection_modes={"tokens": "list"}),
+            collection_modes={"tokens": "list"})
+    ch = t.read_changes(1, 2)
+    cplan = ch._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in cplan
+    assert cplan.count("Exchange") == 1
