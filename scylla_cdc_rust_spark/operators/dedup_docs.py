@@ -371,8 +371,12 @@ def dedup_clusters(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
         # small-star: orient (big → small); link the smaller-or-equal
-        # neighborhood (and the center) to its minimum
-        o = _canon(large)
+        # neighborhood (and the center) to its minimum.  No distinct
+        # here — the algorithm tolerates duplicate edges and the round's
+        # closing canon dedups once, saving a shuffle per round
+        o = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
         mins2 = o.groupBy("u").agg(F.least(F.first("u"), F.min("v")).alias("m"))
         joined = o.join(mins2, "u")
         small = (

@@ -1158,8 +1158,11 @@ def q_doc_dedup_clusters(spark, sf_dir):
     — via a broadcast anti-join on the SMALL hot set, so the shingle
     stream itself is never shuffled for the trim."""
     from scylla_cdc_rust_spark.operators.dedup_docs import dedup_clusters
+    from scylla_cdc_rust_spark.session import ensure_min_parallelism
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
     sh_all = d.select(
         "doc_id",
         F.explode(
