@@ -740,6 +740,31 @@ def test_scale_plan_shapes(spark, docs):
                        for l in gen)
 
 
+def test_fold_plan_partial_aggregation(spark):
+    """The replay fold's hot path must combine map-side: every Exchange
+    in the fold plan sits above a partial HashAggregate (partial_max_by
+    / partial_max), so a hot key costs one aggregate buffer per task
+    instead of shuffling its raw events (the reference serializes hot
+    streams on one consumer; we must not)."""
+    from scylla_cdc_rust_spark.functions.decode import decode
+    from scylla_cdc_rust_spark.operators.fold import fold
+
+    t0 = 1_600_000_000_000
+    log = spark.createDataFrame(
+        [("s", t0 + i, 0, 0, 2, None, str(i % 5), [i], 1, "w")
+         for i in range(50)],
+        "`cdc$stream_id` string, cdc_time_ms long, cdc_time_seq long,"
+        " `cdc$batch_seq_no` int, `cdc$operation` int, `cdc$ttl` long,"
+        " doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    plan = fold(
+        decode(log), collection_modes={"tokens": "list"}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in plan
+    # the partial aggregate must appear BEFORE (below) the exchange
+    assert plan.index("Exchange") < plan.index("partial_max_by")
+
+
 def test_funnel_and_changelog_plan_shapes(spark, docs, tmp_path):
     """Round-4 plan pins: the curation funnel's single-pass accounting
     reads the corpus parquet exactly ONCE per side (2 FileScans total,
