@@ -1141,6 +1141,53 @@ WHERE round(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 4) > 0.01
 """
 
 
+def q_doc_repetition_stats(spark, sf_dir):
+    """Gopher-style intra-document repetition signals
+    (operators/repetition.py): per doc, the most-frequent-n-gram
+    fraction and duplicate-n-gram fraction for n=2,3 — the boilerplate
+    / degenerate-text quality rules that length/stopword scoring
+    misses.  Pure map-side column block (one higher-order aggregate
+    over the doc's own sorted n-grams; no explode, zero shuffle) —
+    like stratified sampling, it stacks straight onto the scan."""
+    from scylla_cdc_rust_spark.operators.repetition import repetition_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = repetition_stats(d)
+    return out.withColumn("n_words", F.col("n_words").cast("long"))
+
+
+SQL_DOC_REPETITION_STATS = """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, ws FROM docs),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+         i -> ws[i] || '_' || ws[i + 1])) AS g
+  FROM base WHERE n_words >= 2
+),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+a2 AS (SELECT doc_id, max(c) AS mx, count(*) AS nd, sum(c) AS tot
+       FROM c2 GROUP BY 1),
+g3 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+         i -> ws[i] || '_' || ws[i + 1] || '_' || ws[i + 2])) AS g
+  FROM base WHERE n_words >= 3
+),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+a3 AS (SELECT doc_id, max(c) AS mx, count(*) AS nd, sum(c) AS tot
+       FROM c3 GROUP BY 1)
+SELECT b.doc_id, b.n_words,
+       round(coalesce(a2.mx / CAST(a2.tot AS DOUBLE), 0), 6) AS top2_frac,
+       round(coalesce(1 - a2.nd / CAST(a2.tot AS DOUBLE), 0), 6) AS dup2_frac,
+       round(coalesce(a3.mx / CAST(a3.tot AS DOUBLE), 0), 6) AS top3_frac,
+       round(coalesce(1 - a3.nd / CAST(a3.tot AS DOUBLE), 0), 6) AS dup3_frac
+FROM base b
+LEFT JOIN a2 ON a2.doc_id = b.doc_id
+LEFT JOIN a3 ON a3.doc_id = b.doc_id
+"""
+
+
 def q_doc_dedup_clusters(spark, sf_dir):
     """Corpus-level near-dup CLUSTERS (operators/dedup_docs.dedup_clusters):
     2-gram-shingle Jaccard pairs (≥ 0.5, whole corpus) resolved into
@@ -2079,6 +2126,7 @@ QUERIES = {
     "doc_lang_id": q_doc_lang_id,
     "doc_minhash_signatures": q_doc_minhash_signatures,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "doc_repetition_stats": q_doc_repetition_stats,
     "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_simhash": q_doc_simhash,
     "doc_simhash_neardups": q_doc_simhash_neardups,
@@ -2121,6 +2169,7 @@ ORACLE_SQL = {
     "doc_lang_id": SQL_DOC_LANG_ID,
     "doc_minhash_signatures": SQL_DOC_MINHASH_SIGNATURES,
     "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
+    "doc_repetition_stats": SQL_DOC_REPETITION_STATS,
     "doc_dedup_clusters": SQL_DOC_DEDUP_CLUSTERS,
     "doc_simhash": SQL_DOC_SIMHASH,
     "doc_simhash_neardups": SQL_DOC_SIMHASH_NEARDUPS,

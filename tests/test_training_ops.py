@@ -740,6 +740,38 @@ def test_scale_plan_shapes(spark, docs):
                        for l in gen)
 
 
+def test_repetition_signals(spark):
+    """Gopher-style repetition rules (operators/repetition.py): looped
+    boilerplate scores high, unique prose scores 0, short docs default
+    to 0.0, and the whole signal block is a zero-shuffle map-side plan."""
+    from scylla_cdc_rust_spark.operators.repetition import (
+        repetition_filter,
+        repetition_stats,
+    )
+
+    rows = [
+        (1, "spam ham " * 50),           # one 2-gram looped
+        (2, " ".join(f"w{i}" for i in range(100))),  # fully unique
+        (3, "x"),                        # shorter than any n-gram
+        (4, "a b c " * 10 + "tail"),     # repeated phrase
+    ]
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
+    st = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    # doc 1: "spam ham" repeats 50× of 99 bigrams; dup2 near 1
+    assert st[1]["top2_frac"] > 0.49 and st[1]["dup2_frac"] > 0.95
+    assert st[2]["top2_frac"] == round(1 / 99, 6) and st[2]["dup2_frac"] == 0.0
+    assert st[3]["top2_frac"] == 0.0 and st[3]["dup3_frac"] == 0.0
+    assert st[4]["dup3_frac"] > 0.5
+
+    kept = {r["doc_id"] for r in repetition_filter(df).select("doc_id").collect()}
+    assert kept == {2, 3}  # looped docs dropped, unique + short kept
+
+    plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" not in plan
+
+
 def test_fold_plan_partial_aggregation(spark):
     """The replay fold's hot path must combine map-side: every Exchange
     in the fold plan sits above a partial HashAggregate (partial_max_by
