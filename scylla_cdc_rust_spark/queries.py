@@ -1188,6 +1188,79 @@ LEFT JOIN a3 ON a3.doc_id = b.doc_id
 """
 
 
+def q_doc_pii_scrub(spark, sf_dir):
+    """PII scrubbing (operators/pii.py): emails / bare IPv4s / long
+    digit runs → placeholder tokens, with per-class counts.  The
+    synthetic corpus carries no PII-shaped strings, so the query plants
+    deterministic PII per document (identically in the oracle) and
+    verifies the scrub end-to-end via counts + an md5 fingerprint of
+    the scrubbed text.  Pure chained regexp_replace/regexp_count —
+    map-side, zero shuffle, regex subset chosen to behave identically
+    under Java regex and RE2."""
+    from scylla_cdc_rust_spark.operators.pii import pii_scrub
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".3.7 acct 90210"),
+            F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+        ).alias("text"),
+    )
+    out = pii_scrub(planted)
+    return out.select(
+        "doc_id", "n_emails", "n_ips", "n_longnums",
+        F.md5("text").alias("scrub_digest"),
+        F.length("text").cast("long").alias("scrub_len"),
+    )
+
+
+SQL_DOC_PII_SCRUB = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com from 10.'
+              || CAST(doc_id % 200 AS VARCHAR)
+              || '.3.7 acct 90210' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+           AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+           AS n_emails,
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+           AS text
+  FROM planted
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(text,
+           '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+         regexp_replace(text,
+           '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS text
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_emails, n_ips,
+         CAST(len(regexp_extract_all(text, '\b[0-9]{9,}\b')) AS BIGINT)
+           AS n_longnums,
+         regexp_replace(text, '\b[0-9]{9,}\b', '<NUM>', 'g') AS text
+  FROM s2
+)
+SELECT doc_id, n_emails, n_ips, n_longnums,
+       md5(text) AS scrub_digest,
+       CAST(length(text) AS BIGINT) AS scrub_len
+FROM s3
+"""
+
+
 def q_doc_dedup_clusters(spark, sf_dir):
     """Corpus-level near-dup CLUSTERS (operators/dedup_docs.dedup_clusters):
     2-gram-shingle Jaccard pairs (≥ 0.5, whole corpus) resolved into
@@ -2127,6 +2200,7 @@ QUERIES = {
     "doc_minhash_signatures": q_doc_minhash_signatures,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_repetition_stats": q_doc_repetition_stats,
+    "doc_pii_scrub": q_doc_pii_scrub,
     "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_simhash": q_doc_simhash,
     "doc_simhash_neardups": q_doc_simhash_neardups,
@@ -2170,6 +2244,7 @@ ORACLE_SQL = {
     "doc_minhash_signatures": SQL_DOC_MINHASH_SIGNATURES,
     "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
     "doc_repetition_stats": SQL_DOC_REPETITION_STATS,
+    "doc_pii_scrub": SQL_DOC_PII_SCRUB,
     "doc_dedup_clusters": SQL_DOC_DEDUP_CLUSTERS,
     "doc_simhash": SQL_DOC_SIMHASH,
     "doc_simhash_neardups": SQL_DOC_SIMHASH_NEARDUPS,

@@ -772,6 +772,37 @@ def test_repetition_signals(spark):
     assert "Exchange" not in plan and "Generate" not in plan
 
 
+def test_pii_scrub(spark):
+    """PII redaction (operators/pii.py): sequential class semantics
+    (an email's digits are one email, not also an account number),
+    multiple matches per doc, clean docs untouched, zero-shuffle plan."""
+    from scylla_cdc_rust_spark.operators.pii import pii_scrub
+
+    rows = [
+        (1, "mail a@b.com and c.d+x@e.org end"),
+        (2, "node 10.0.0.1 peer 192.168.255.7"),
+        (3, "acct 123456789 ref 900000000012"),
+        (4, "user123456789@host.com only"),   # 9 digits INSIDE an email
+        (5, "plain text no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_longnums"]) == (2, 0, 0)
+    assert out[1]["text"] == "mail <EMAIL> and <EMAIL> end"
+    assert (out[2]["n_ips"], out[2]["n_emails"]) == (2, 0)
+    assert out[2]["text"] == "node <IP> peer <IP>"
+    assert (out[3]["n_longnums"], out[3]["n_ips"]) == (2, 0)
+    assert out[3]["text"] == "acct <NUM> ref <NUM>"
+    # sequential semantics: the email is scrubbed first, so its digit
+    # run never reaches the account-number pass
+    assert (out[4]["n_emails"], out[4]["n_longnums"]) == (1, 0)
+    assert out[4]["text"] == "user<EMAIL> only" or out[4]["text"] == "<EMAIL> only"
+    assert out[5]["text"] == rows[4][1] and out[5]["n_emails"] == 0
+
+    plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_fold_plan_partial_aggregation(spark):
     """The replay fold's hot path must combine map-side: every Exchange
     in the fold plan sits above a partial HashAggregate (partial_max_by
