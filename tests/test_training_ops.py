@@ -490,12 +490,14 @@ def test_timeuuid_decode(spark):
     assert keys == sorted(keys)
 
 
-def _v1_uuid(ticks_unix_100ns: int, clock_seq: int) -> bytes:
+def _v1_uuid(
+    ticks_unix_100ns: int, clock_seq: int, node: int = 0x123456789ABC
+) -> bytes:
     t = ticks_unix_100ns + 122192928000000000
     return uuid.UUID(fields=(
         t & 0xFFFFFFFF, (t >> 32) & 0xFFFF, 0x1000 | ((t >> 48) & 0x0FFF),
         0x80 | ((clock_seq >> 8) & 0x3F), clock_seq & 0xFF,
-        0x123456789ABC)).bytes
+        node)).bytes
 
 
 def test_timeuuid_clock_seq_fidelity(spark):
@@ -770,6 +772,66 @@ def test_repetition_signals(spark):
 
     plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Generate" not in plan
+
+
+def test_collision_fuzz_full_uuid_order(spark):
+    """Randomized raw-timeuuid logs with HEAVY same-tick collisions
+    (ticks drawn from a tiny set, random clock_seq AND node): the fold
+    over decode()'s re-ranked ord must equal a sequential replay in the
+    reference's full-uuid order (timestamp, then bytes 8-15 —
+    consumer.rs:193-194), for every seed."""
+    import random
+
+    from scylla_cdc_rust_spark.functions.decode import decode
+    from scylla_cdc_rust_spark.operators.fold import fold
+
+    t0 = 1_700_000_000_000_000 * 10
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        used = set()
+        events = []
+        # key space: 8 ticks × 8 clocks × 2 nodes = 128 distinct uuids;
+        # drawing 100 forces many same-tick collisions
+        while len(events) < 100:
+            key = (rng.choice([0, 3, 7, 11, 400, 9000, 9001, 20000]),
+                   rng.choice([1, 100, 200, 4000, 8000, 9999, 12000, 16000]),
+                   rng.choice([0xAAAAAA, 0xBBBBBB]))
+            if key in used:
+                continue
+            used.add(key)
+            doc = rng.randrange(4)
+            op = rng.choice([2, 2, 1, 3])  # insert-heavy, some deletes
+            v = rng.randrange(1000) if op != 3 else None
+            events.append((key, doc, op, v))
+
+        # sequential oracle in full-uuid order
+        state = {}
+        for (tick, clock, node), doc, op, v in sorted(events):
+            k = (tick, clock, node)
+            s = state.setdefault(doc, {"marker": None, "tomb": None, "cell": None})
+            if op == 3:
+                s["tomb"] = max(filter(None, [s["tomb"], k]), default=k)
+            else:
+                if op == 2:
+                    s["marker"] = max(filter(None, [s["marker"], k]), default=k)
+                if s["cell"] is None or k > s["cell"][0]:
+                    s["cell"] = (k, v)
+        expected = {}
+        for doc, s in state.items():
+            tomb = s["tomb"] or (-1,)
+            live_cell = s["cell"] is not None and s["cell"][0] > tomb
+            if (s["marker"] or (-1,)) > tomb or live_cell:
+                expected[doc] = s["cell"][1] if live_cell else None
+
+        df = spark.createDataFrame(
+            [("s1", _v1_uuid(t0 + tick, clock, node), 0, op, None, doc, v)
+             for (tick, clock, node), doc, op, v in events],
+            "`cdc$stream_id` string, `cdc$time` binary, `cdc$batch_seq_no` int,"
+            " `cdc$operation` int, `cdc$ttl` long, doc_id int, v int",
+        )
+        got = {r["doc_id"]: r["v"]
+               for r in fold(decode(df), collection_modes={}).collect()}
+        assert got == expected, f"seed {seed}: {got} != {expected}"
 
 
 def test_pii_scrub(spark):
