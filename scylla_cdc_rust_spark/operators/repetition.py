@@ -66,13 +66,15 @@ def _run_stats(sorted_grams: Column) -> Column:
     return F.aggregate(sorted_grams, acc0, step)
 
 
-def repetition_signals(
-    text: Column | str, ns: tuple[int, ...] = (2, 3)
+def array_repetition_signals(
+    arr: Column, ns: tuple[int, ...] = (2, 3)
 ) -> list[Column]:
-    """Column block of repetition fractions for each n in ``ns``:
-    ``top{n}_frac`` and ``dup{n}_frac`` (0.0 for docs shorter than n
-    words), rounded to 6 places for engine portability."""
-    ws = words(text)
+    """Repetition fractions over ANY element array — the token-array
+    form runs the same boilerplate rules on already-tokenized sequences
+    (the CDC target table carries ``tokens array<int>``, no text).
+    Elements are stringified for gram keys; semantics and column names
+    match ``repetition_signals``."""
+    ws = F.transform(arr, lambda x: x.cast("string"))
     cols: list[Column] = []
     for n in ns:
         st = _run_stats(F.array_sort(_ngrams(ws, n)))
@@ -92,6 +94,15 @@ def repetition_signals(
             ).alias(f"dup{n}_frac")
         )
     return cols
+
+
+def repetition_signals(
+    text: Column | str, ns: tuple[int, ...] = (2, 3)
+) -> list[Column]:
+    """Column block of repetition fractions for each n in ``ns``:
+    ``top{n}_frac`` and ``dup{n}_frac`` (0.0 for docs shorter than n
+    words), rounded to 6 places for engine portability."""
+    return array_repetition_signals(words(text), ns)
 
 
 def repetition_stats(

@@ -1,6 +1,7 @@
 """The example CLIs (printer / replicator — the reference's two binaries)
 run end-to-end via their public entry points."""
 
+import json
 import os
 import subprocess
 import sys
@@ -9,6 +10,64 @@ from scylla_cdc_rust_spark.datagen.gen_log import LogSpec, generate_log, write_l
 from scylla_cdc_rust_spark.datagen.oracle import oracle_replay
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_incremental_curation_cli(spark, tmp_path):
+    """Two runs of examples/incremental_curation.py: the first curates
+    the log prefix in full, the second resumes the replay, commits a
+    new snapshot, and re-curates ONLY the changelog's changed docs —
+    while the final curated table must equal a from-scratch curation of
+    the final state."""
+    import pyarrow.compute as pc
+    from pyspark.sql import functions as F
+
+    from scylla_cdc_rust_spark.model import TIME_MS
+
+    tmp = str(tmp_path)
+    tbl = generate_log(LogSpec(n_events=3_000, n_docs=150, seed=45))
+    log_dir = os.path.join(tmp, "log")
+    write_log(tbl, log_dir)
+    cut = int(pc.approximate_median(tbl.column(TIME_MS)).as_py())
+
+    def run(extra):
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "examples", "incremental_curation.py"),
+             "--log-path", log_dir,
+             "--target-path", os.path.join(tmp, "t"),
+             "--watermark-path", os.path.join(tmp, "wm"),
+             "--curated-out", os.path.join(tmp, "cur"), *extra],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        return json.loads(r.stderr.strip().splitlines()[-1])
+
+    m1 = run(["--stop-at-ms", str(cut)])
+    assert m1["n_total"] == m1["n_changed"] > 0  # initial full curation
+    m2 = run([])
+    # second run is incremental: only changelog docs re-curated
+    assert 0 < m2["n_changed"]
+    assert m2["curated_version"] > m1["curated_version"]
+
+    # final curated set == from-scratch curation of the final state
+    from scylla_cdc_rust_spark.operators.merge import ParquetMergeTable
+    from scylla_cdc_rust_spark.operators.repetition import (
+        array_repetition_signals,
+    )
+
+    cur = spark.read.parquet(
+        os.path.join(tmp, "cur", f"data-v{m2['curated_version']}")
+    )
+    table = ParquetMergeTable(spark, os.path.join(tmp, "t"))
+    toks = F.coalesce(F.col("tokens"), F.array().cast("array<int>"))
+    full = table.read_visible().select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tok"),
+        *array_repetition_signals(toks, (2, 3)),
+    )
+    got = {r["doc_id"]: tuple(r)[1:] for r in cur.drop("keep").collect()}
+    want = {r["doc_id"]: tuple(r)[1:] for r in full.collect()}
+    assert got == want
 
 
 def test_example_clis_end_to_end(spark, tmp_path):
