@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from scylla_cdc_rust_spark.functions.generate_util import explode_nonnull
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -348,11 +350,17 @@ def ivf_topk(
         F.col(id_col).alias("cid"),
         _as_double(F.col(vec_col)).alias("cv"),
     ).withColumn("cell", _nearest_cells(F.col("cv"), centroids, 1)[0])
-    q = queries.select(
-        F.col(id_col).alias("qid"),
-        _as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn(
-        "cell", F.explode(_nearest_cells(F.col("qv"), centroids, nprobe))
+    # explode_nonnull: plain explode's inferred filter would score every
+    # centroid twice per query row (functions/generate_util.py)
+    q = explode_nonnull(
+        queries.select(
+            F.col(id_col).alias("qid"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        ),
+        _nearest_cells(F.col("qv"), centroids, nprobe),
+        "cell",
+        "qid",
+        "qv",
     )
     scored = q.join(c, "cell").select(
         "qid", "cid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos")

@@ -91,17 +91,17 @@ def ngram_contamination(
     ``hash_impl="xxhash64"`` is the production mode (see
     ``ngram_hashes``); the default stays oracle-portable.
     """
+    from scylla_cdc_rust_spark.functions.generate_util import explode_nonnull
     from scylla_cdc_rust_spark.session import ensure_min_parallelism
 
     # the benchmark side stays un-fanned: it is catalog-sized and the
     # extra AQE stage boundaries of a fan-out exchange cost more than
-    # its serial gram hashing saves (A/B'd at sf0.1)
-    bench = (
-        benchmark.select(
-            F.explode(ngram_hashes(text_col, n, hash_impl)).alias("h")
-        )
-        .distinct()
-    )
+    # its serial gram hashing saves (A/B'd at sf0.1).  explode_nonnull
+    # (not explode): the inferred size>0 filter would re-evaluate the
+    # whole gram hash in the scan stage (generate_util docstring)
+    bench = explode_nonnull(
+        benchmark, ngram_hashes(text_col, n, hash_impl), "h"
+    ).distinct()
     # ONE corpus scan: per-doc distinct grams with the doc's total
     # carried alongside, exploded into the broadcast probe.  Small
     # inputs are fanned out first — the gram projection is the cost
@@ -111,13 +111,15 @@ def ngram_contamination(
     # next to explode(gs) makes the Generate carry the whole gram array
     # through every exploded row — O(grams²) bytes per document
     # (measured 4.3s → 0.6s at sf0.1)
-    doc_grams = (
+    doc_grams = explode_nonnull(
         corpus.select(
             F.col(id_col).alias("id"),
             F.array_distinct(ngram_hashes(text_col, n, hash_impl)).alias("gs"),
-        )
-        .select("id", F.size("gs").alias("n_ngrams"), "gs")
-        .select("id", "n_ngrams", F.explode("gs").alias("h"))
+        ).select("id", F.size("gs").alias("n_ngrams"), "gs"),
+        F.col("gs"),
+        "h",
+        "id",
+        "n_ngrams",
     )
     return (
         doc_grams.join(F.broadcast(bench), "h")

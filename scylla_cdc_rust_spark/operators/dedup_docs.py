@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from scylla_cdc_rust_spark.functions.generate_util import explode_nonnull
 from scylla_cdc_rust_spark.functions.text import M31, word_hash
 
 #: persisted (bucket, member) projections registered by cap_buckets —
@@ -123,13 +124,19 @@ def exact_dedup(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataF
 
 
 def shingles(text_col, n: int = 2):
-    """Distinct word n-gram shingles of a text column."""
+    """Distinct word n-gram shingles of a text column.
+
+    Documents with fewer than ``n`` words contribute NO shingles (the
+    ``F.when`` guard): without it the window index would run past the
+    word array, which raises under ANSI mode, and the DuckDB oracles'
+    ``generate_series(1, len-1)`` yields none for such docs."""
     ws = F.split(text_col, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - F.lit(n)),
+        lambda i: F.concat_ws("_", *[F.element_at(ws, i + j + 1) for j in range(n)]),
+    )
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
-            lambda i: F.concat_ws("_", *[F.element_at(ws, i + j + 1) for j in range(n)]),
-        )
+        F.when(F.size(ws) >= n, grams).otherwise(F.array().cast("array<string>"))
     )
 
 
@@ -138,7 +145,9 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-minhash signature per document (shingle → hash → min per fn)."""
     params = MINHASH_PARAMS[:num_hashes]
-    sh = df.select(key, F.explode(shingles(F.col(text))).alias("sh"))
+    # explode_nonnull: plain explode's inferred size>0 filter would
+    # re-evaluate the shingle build in the scan stage (generate_util)
+    sh = explode_nonnull(df, shingles(F.col(text)), "sh", key)
     h = sh.select(key, word_hash(F.col("sh")).alias("h"))
     aggs = [
         F.min((F.col("h") * a + b) % M31).alias(f"m{i}")
@@ -168,7 +177,7 @@ def minhash_lsh_candidates(
         for c in cols:
             h = (h * 31 + c) % M31
         band_cols.append(F.struct(F.lit(b).alias("band"), h.alias("bh")))
-    buckets = sigs.select(key, F.explode(F.array(*band_cols)).alias("bb")).select(
+    buckets = explode_nonnull(sigs, F.array(*band_cols), "bb", key).select(
         key, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
     join_cols = ["band", "bh"]
@@ -190,7 +199,7 @@ def ngram_jaccard(
     df: DataFrame, pairs: DataFrame, key: str = "doc_id", text: str = "text", n: int = 2
 ) -> DataFrame:
     """Exact Jaccard verification on candidate pairs (d1, d2)."""
-    sh = df.select(key, F.explode(shingles(F.col(text), n)).alias("sh"))
+    sh = explode_nonnull(df, shingles(F.col(text), n), "sh", key)
     sizes = sh.groupBy(key).agg(F.count("*").alias("sz"))
     x, y = sh.alias("x"), sh.alias("y")
     inter = (
@@ -270,22 +279,22 @@ def simhash_near_dups(
         for i in range(n_blocks)
     ]
     combos = list(combinations(range(n_blocks), n_blocks - radius))
-    keyed = sh.select(
+    keyed = explode_nonnull(
+        sh,
+        F.array(
+            *[
+                F.struct(
+                    F.lit(ci).alias("combo"),
+                    F.concat_ws(
+                        "_", *[blocks[b].cast("string") for b in combo]
+                    ).alias("bk"),
+                )
+                for ci, combo in enumerate(combos)
+            ]
+        ),
+        "c",
         key,
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(ci).alias("combo"),
-                        F.concat_ws(
-                            "_", *[blocks[b].cast("string") for b in combo]
-                        ).alias("bk"),
-                    )
-                    for ci, combo in enumerate(combos)
-                ]
-            )
-        ).alias("c"),
     ).select(key, "simhash", F.col("c.combo").alias("combo"), F.col("c.bk").alias("bk"))
     join_cols = ["combo", "bk"]
     if max_bucket_size:

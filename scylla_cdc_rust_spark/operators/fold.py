@@ -61,6 +61,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from scylla_cdc_rust_spark.functions.generate_util import explode_nonnull
 from scylla_cdc_rust_spark.model import (
     DELETED_ELEMS_PREFIX,
     DELETED_PREFIX,
@@ -311,26 +312,25 @@ def fold_delta(
             if DELETED_ELEMS_PREFIX + c in df.columns
             else F.lit(None).cast("array<int>")
         )
-        events = (
-            df.where(is_w & (F.col(c).isNotNull() | del_elems.isNotNull()))
-            .select(
-                *[F.col(k) for k in keys],
-                ordc.alias("__ord"),
-                F.explode(
-                    F.concat(
-                        F.transform(
-                            F.coalesce(F.col(c), F.array()),
-                            lambda e: F.struct(e.alias("e"), F.lit(1).alias("a")),
-                        ),
-                        F.transform(
-                            F.coalesce(del_elems, F.array()),
-                            lambda e: F.struct(e.alias("e"), F.lit(0).alias("a")),
-                        ),
-                    )
-                ).alias("ev"),
-            )
-            .select(*keys, "__ord", F.col("ev.e").alias("elem"), F.col("ev.a").alias("act"))
-        )
+        # explode_nonnull (not explode): the inferred size>0 filter would
+        # rebuild the whole event-struct array a second time per row in
+        # the scan stage (functions/generate_util.py)
+        events = explode_nonnull(
+            df.where(is_w & (F.col(c).isNotNull() | del_elems.isNotNull())),
+            F.concat(
+                F.transform(
+                    F.coalesce(F.col(c), F.array()),
+                    lambda e: F.struct(e.alias("e"), F.lit(1).alias("a")),
+                ),
+                F.transform(
+                    F.coalesce(del_elems, F.array()),
+                    lambda e: F.struct(e.alias("e"), F.lit(0).alias("a")),
+                ),
+            ),
+            "ev",
+            *[F.col(k) for k in keys],
+            ordc.alias("__ord"),
+        ).select(*keys, "__ord", F.col("ev.e").alias("elem"), F.col("ev.a").alias("act"))
         # last event per (key, element); removal beats addition at equal ord.
         # (ord, act) packs into one long — max() is hash-aggregable with a
         # vectorized partial aggregate, unlike max_by over a struct which
@@ -397,15 +397,17 @@ def fold_delta(
                 ),
             ),
         )
-        events = (
-            df.where(is_w & (F.col(c).isNotNull() | delems.isNotNull()))
-            .select(*keys, ordc.alias("__ord"), F.explode(ev_structs).alias("ev"))
-            .select(
-                *keys,
-                F.col("ev.k").alias("k"),
-                F.col("ev.v").alias("v"),
-                (F.col("__ord") * 2 + (1 - F.col("ev.a"))).alias("__pk"),
-            )
+        events = explode_nonnull(
+            df.where(is_w & (F.col(c).isNotNull() | delems.isNotNull())),
+            ev_structs,
+            "ev",
+            *[F.col(k) for k in keys],
+            ordc.alias("__ord"),
+        ).select(
+            *keys,
+            F.col("ev.k").alias("k"),
+            F.col("ev.v").alias("v"),
+            (F.col("__ord") * 2 + (1 - F.col("ev.a"))).alias("__pk"),
         )
         events = events.repartition(*[F.col(k) for k in keys])
         per_elem = events.groupBy(*keys, "k").agg(

@@ -51,7 +51,7 @@ MEDIA_SCHEMA = T.StructType(
 
 
 class DecoderRegistry:
-    """Pluggable codec registry; real codecs raise until provided."""
+    """Pluggable codec registry; unregistered media types raise."""
 
     def __init__(self):
         self._decoders: dict[str, Callable[[bytes, dict], np.ndarray]] = {}
@@ -67,6 +67,259 @@ class DecoderRegistry:
                 "register PIL/torchaudio/pyav codecs here"
             )
         return fn(payload, meta)
+
+
+# ---------------------------------------------------------------------------
+# Real numpy-only codecs (no external image/audio libraries needed):
+# PPM (P6 binary), BMP (24-bit uncompressed BI_RGB), WAV (PCM16).
+# PNG/JPEG/MP3/... still raise a documented NotImplementedError naming
+# the production codec — the registry contract stays honest.
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary P6 PPM."""
+    h, w, c = pixels.shape
+    assert c == 3
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P6 PPM → (h, w, 3) uint8.  Handles comment lines and any
+    whitespace split between the three header tokens."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = magic + 3 whitespace-separated ints (w, h, maxval), with
+    # optional '#' comment lines; pixel data starts after the single
+    # whitespace byte following maxval
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM supported")
+    return (
+        np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP (bottom-up, BGR,
+    4-byte-padded rows — the standard Windows layout)."""
+    h, w, c = pixels.shape
+    assert c == 3
+    row = w * 3
+    pad = (-row) % 4
+    img_size = (row + pad) * h
+    header = (
+        b"BM"
+        + (54 + img_size).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + img_size.to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2  # 72 DPI
+        + (0).to_bytes(4, "little") * 2
+    )
+    bgr = pixels[::-1, :, ::-1].astype(np.uint8)  # bottom-up + BGR
+    if pad:
+        padded = np.zeros((h, row + pad), dtype=np.uint8)
+        padded[:, :row] = bgr.reshape(h, row)
+        body = padded.tobytes()
+    else:
+        body = bgr.tobytes()
+    return header + body
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → (h, w, 3) uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bits = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bits != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP supported")
+    bottom_up = h > 0
+    h = abs(h)
+    row = w * 3
+    stride = row + ((-row) % 4)
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=offset
+    ).reshape(h, stride)[:, :row]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return (img[::-1] if bottom_up else img).copy()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-sniffing image decode → (h, w, 3) uint8 RGB.
+
+    Ships PPM (P6) and BMP (24-bit); compressed formats name the
+    production codec they need instead of silently faking."""
+    if not payload:
+        raise ValueError("empty image payload")
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:2] == b"\xff\xd8":
+        raise NotImplementedError(
+            "PNG/JPEG require a real codec (PIL/libvips); register one on "
+            "DecoderRegistry — only PPM/BMP decode numpy-only"
+        )
+    raise ValueError(f"unrecognized image magic {payload[:4]!r}")
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """1-D int16 mono PCM → RIFF/WAVE."""
+    data = samples.astype("<i2").tobytes()
+    return (
+        b"RIFF"
+        + (36 + len(data)).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+        + b"data"
+        + len(data).to_bytes(4, "little")
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 → (samples int16 [n, channels], sample_rate).
+    Walks the chunk list, so extra chunks (LIST/fact) are tolerated."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz % 2)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError("only PCM16 WAV supported")
+    samples = np.frombuffer(data, dtype="<i2")
+    return samples.reshape(-1, channels), rate
+
+
+def nearest_resize(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Floor nearest-neighbor resample: src_x = x·W // width (the exact
+    integer mapping the DuckDB resize oracle reproduces)."""
+    h, w, _ = pixels.shape
+    xs = (np.arange(width) * w) // width
+    ys = (np.arange(height) * h) // height
+    return pixels[np.ix_(ys, xs)]
+
+
+def image_resize_transformer(payload: bytes, _meta: dict, w: int, h: int) -> bytes:
+    """decode → nearest-neighbor → re-encode in the SAME container."""
+    out = nearest_resize(decode_image(bytes(payload)), w, h)
+    return encode_bmp(out) if bytes(payload[:2]) == b"BM" else encode_ppm(out)
+
+
+def image_feature_decoder(dim: int = 16) -> Callable[[bytes, dict], np.ndarray]:
+    """Real image features: [width, height, n_px, sum_r, sum_g, sum_b,
+    mean_r, mean_g, mean_b, ...] zero-padded/truncated to ``dim``.
+    The first six entries are exact integers (float32-representable for
+    any image below ~16M-pixel channel sums / 2^24 px), which is what
+    lets the driver oracle check real pixel math bit-for-bit."""
+
+    def fn(payload: bytes, _meta: dict) -> np.ndarray:
+        px = decode_image(bytes(payload))
+        h, w, _ = px.shape
+        sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        n = h * w
+        feats = [
+            float(w),
+            float(h),
+            float(n),
+            float(sums[0]),
+            float(sums[1]),
+            float(sums[2]),
+            float(sums[0]) / n,
+            float(sums[1]) / n,
+            float(sums[2]) / n,
+        ]
+        v = np.zeros(dim, dtype=np.float32)
+        v[: min(dim, len(feats))] = feats[:dim]
+        return v
+
+    return fn
+
+
+def audio_feature_decoder(dim: int = 16) -> Callable[[bytes, dict], np.ndarray]:
+    """Real audio features from WAV PCM16: [channels, sample_rate,
+    n_samples, sum_abs, mean_abs, ...] zero-padded to ``dim``."""
+
+    def fn(payload: bytes, _meta: dict) -> np.ndarray:
+        samples, rate = decode_wav(bytes(payload))
+        n = samples.shape[0]
+        sum_abs = float(np.abs(samples.astype(np.int64)).sum())
+        feats = [
+            float(samples.shape[1]),
+            float(rate),
+            float(n),
+            sum_abs,
+            sum_abs / max(1, n * samples.shape[1]),
+        ]
+        v = np.zeros(dim, dtype=np.float32)
+        v[: min(dim, len(feats))] = feats[:dim]
+        return v
+
+    return fn
+
+
+def fake_resize_transformer(payload: bytes, _meta: dict, w: int, h: int) -> bytes:
+    """Deterministic non-codec stand-in (tests / non-image payloads):
+    sha256 keystream of ~w·h/64 bytes so size tracks resolution."""
+    n = max(16, (w * h) // 64)
+    seed = hashlib.sha256((payload or b"") + f"{w}x{h}".encode()).digest()
+    return (seed * (n // len(seed) + 1))[:n]
+
+
+def default_registry(dim: int = 16) -> DecoderRegistry:
+    """The shipped defaults: REAL image (PPM/BMP) and audio (WAV PCM16)
+    decoders; video remains a deterministic fake until a real container
+    parser is registered (no numpy-only video demuxer exists)."""
+    reg = DecoderRegistry()
+    reg.register("image", image_feature_decoder(dim))
+    reg.register("audio", audio_feature_decoder(dim))
+    reg.register("video", deterministic_fake_decoder(dim))
+    return reg
 
 
 def deterministic_fake_decoder(dim: int = 16) -> Callable[[bytes, dict], np.ndarray]:
@@ -92,12 +345,7 @@ def extract_features(
 
     Returns (doc_id, media_type, features array<float>, n_bytes).
     """
-    reg = registry
-    if reg is None:
-        reg = DecoderRegistry()
-        fake = deterministic_fake_decoder(dim)
-        for mt in ("image", "audio", "video"):
-            reg.register(mt, fake)
+    reg = registry if registry is not None else default_registry(dim)
     if media_types:
         media = media.where(F.col("meta.media_type").isin(*media_types))
     # prune before decode: only the columns the kernel needs cross Arrow
@@ -142,17 +390,15 @@ def resize_images(
     """binary image payload → resized binary payload (mapInPandas).
 
     Returns (doc_id, payload binary, meta) with meta.width/height set to
-    the target size and meta.n_bytes updated.  ``transformer`` is the
-    codec hook (production: PIL/libvips); the default is the documented
-    deterministic fake — sha256 keystream of ~w·h/64 bytes so payload
-    size tracks the target resolution without a real codec.
+    the target size and meta.n_bytes updated.  The default
+    ``transformer`` is the REAL shipped codec path: magic-sniffed
+    PPM/BMP decode → floor nearest-neighbor resample → re-encode in the
+    same container (``image_resize_transformer``).  Pass a custom hook
+    for compressed formats (PIL/libvips) or ``fake_resize_transformer``
+    for payloads that are not actual images.
     """
     if transformer is None:
-
-        def transformer(payload: bytes, _meta: dict, w: int, h: int) -> bytes:
-            n = max(16, (w * h) // 64)
-            seed = hashlib.sha256((payload or b"") + f"{w}x{h}".encode()).digest()
-            return (seed * (n // len(seed) + 1))[:n]
+        transformer = image_resize_transformer
 
     media = media.where(F.col("meta.media_type") == "image").select(
         "doc_id", "payload", "meta"
@@ -229,6 +475,49 @@ def sample_frames(
             )
 
     return media.mapInPandas(run, schema=out_schema)
+
+
+def synthetic_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic image corpus for tests/driver oracles.
+
+    One image per input id with a CLOSED-FORM pixel law a SQL oracle can
+    reproduce without any codec:
+
+        W = 8 + id % 5,  H = 6 + id % 4
+        v(x, y, c) = (id·31 + (y·W + x)·3 + c·7) % 256
+
+    Even ids encode as PPM (P6), odd ids as BMP (24-bit) — so a consumer
+    exercises BOTH shipped decoders.  Runs in mapInPandas (one Arrow
+    batch per roundtrip), the same plumbing real ingestion uses.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, metas = [], [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = 8 + did % 5, 6 + did % 4
+                p = np.arange(h * w, dtype=np.int64).reshape(h, w, 1)
+                c = np.arange(3, dtype=np.int64).reshape(1, 1, 3)
+                px = ((did * 31 + p * 3 + c * 7) % 256).astype(np.uint8)
+                payload = encode_ppm(px) if did % 2 == 0 else encode_bmp(px)
+                ids.append(str(did))
+                payloads.append(payload)
+                metas.append(
+                    {
+                        "media_type": "image",
+                        "codec": "ppm" if did % 2 == 0 else "bmp",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": None,
+                        "n_bytes": len(payload),
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def media_stats(media: DataFrame) -> DataFrame:

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from scylla_cdc_rust_spark.functions.generate_util import explode_nonnull
 from scylla_cdc_rust_spark.functions.text import quality_score, token_count, word_hash
 from scylla_cdc_rust_spark.operators.decontam import ngram_contamination, ngram_hashes
 from scylla_cdc_rust_spark.operators.packing import pack_offsets
@@ -171,10 +172,12 @@ def curation_funnel(
             .alias("grams")
         )
         base = docs.select(*cols)
-        bench = (
-            benchmark.select(F.explode(ngram_hashes(text_col, ngram_n)).alias("bh"))
-            .distinct()
-        )
+        # explode_nonnull: plain explode makes Catalyst infer a size>0
+        # filter that re-evaluates the gram hash in the scan stage
+        # (functions/generate_util.py)
+        bench = explode_nonnull(
+            benchmark, ngram_hashes(text_col, ngram_n), "bh"
+        ).distinct()
         per_doc = (
             base.select("*", F.explode_outer("grams").alias("h"))
             .join(F.broadcast(bench), F.col("h") == F.col("bh"), "left")

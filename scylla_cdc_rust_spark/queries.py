@@ -1082,19 +1082,10 @@ FROM hw GROUP BY doc_id
 def q_doc_ngram_jaccard(spark, sf_dir):
     """N-gram (word 2-gram shingle) Jaccard similarity for all pairs among
     the first 20 docs — the verification stage of near-dup detection."""
+    from scylla_cdc_rust_spark.operators.dedup_docs import shingles
+
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").where(F.col("doc_id") < 20)
-    words = F.split("text", " ")
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(0, size(split(text,' ')) - 2), "
-                    "i -> concat(split(text,' ')[i], '_', split(text,' ')[i+1]))"
-                )
-            )
-        ).alias("sh"),
-    )
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"), 2)).alias("sh"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("x")
@@ -1277,23 +1268,17 @@ def q_doc_dedup_clusters(spark, sf_dir):
     pair blowup bounded (a shingle in f docs contributes f² join rows)
     — via a broadcast anti-join on the SMALL hot set, so the shingle
     stream itself is never shuffled for the trim."""
-    from scylla_cdc_rust_spark.operators.dedup_docs import dedup_clusters
+    from scylla_cdc_rust_spark.functions.generate_util import explode_nonnull
+    from scylla_cdc_rust_spark.operators.dedup_docs import dedup_clusters, shingles
     from scylla_cdc_rust_spark.session import ensure_min_parallelism
 
     d = ensure_min_parallelism(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
     )
-    sh_all = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(0, size(split(text,' ')) - 2), "
-                    "i -> concat(split(text,' ')[i], '_', split(text,' ')[i+1]))"
-                )
-            )
-        ).alias("sh"),
-    )
+    # shingles() carries the short-doc guard (a 1-word doc must yield no
+    # shingles, matching the oracle's generate_series(1, len-1));
+    # explode_nonnull keeps the shingle build out of the scan stage
+    sh_all = explode_nonnull(d, shingles(F.col("text"), 2), "sh", "doc_id")
     hot = sh_all.groupBy("sh").agg(F.count("*").alias("df")).where(F.col("df") > 50)
     sh = sh_all.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -1619,6 +1604,103 @@ SELECT label, count(*) AS n_payloads,
        CAST(sum(len(embedding) * 4) AS BIGINT) AS total_bytes,
        min(vec_id) AS min_id, max(vec_id) AS max_id
 FROM embeddings GROUP BY label
+"""
+
+
+def q_img_channel_stats(spark, sf_dir):
+    """REAL image decode driver gate (operators/multimodal.py): a
+    deterministic synthetic image per document (even doc_id → PPM P6,
+    odd → 24-bit BMP; pixel law v(x,y,c) = (id·31 + (y·W+x)·3 + c·7)
+    % 256 with W = 8 + id%5, H = 6 + id%4), encoded AND decoded by the
+    shipped numpy-only codecs inside mapInPandas (extract_features with
+    the default registry).  Output is exact integer pixel math — width,
+    height, per-channel sums — which the DuckDB oracle reproduces from
+    the closed-form law without any codec, so a decode bug of even one
+    byte (BMP row padding, bottom-up order, BGR swap) hash-mismatches."""
+    from scylla_cdc_rust_spark.operators.multimodal import (
+        extract_features,
+        synthetic_images,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    media = synthetic_images(d)
+    f = extract_features(media, dim=6)
+    e = lambda i: F.element_at("features", i).cast("bigint")  # noqa: E731
+    return f.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        e(1).alias("width"),
+        e(2).alias("height"),
+        e(3).alias("n_px"),
+        e(4).alias("sum_r"),
+        e(5).alias("sum_g"),
+        e(6).alias("sum_b"),
+    )
+
+
+SQL_IMG_CHANNEL_STATS = """
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS p FROM d
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(SUM((doc_id * 31 + p * 3) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((doc_id * 31 + p * 3 + 7) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((doc_id * 31 + p * 3 + 14) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id, w, h
+"""
+
+
+def q_img_resize_stats(spark, sf_dir):
+    """REAL resize driver gate: the synthetic corpus above pushed through
+    resize_images(5, 4) — decode (PPM or BMP) → floor nearest-neighbor
+    (src_x = x₂·W // 5, src_y = y₂·H // 4) → re-encode in the same
+    container — then decoded AGAIN for exact channel sums.  The oracle
+    replays the NN index map arithmetically, so both codecs' encode and
+    decode sides plus the resample kernel are all on the hook."""
+    from scylla_cdc_rust_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+        synthetic_images,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    media = synthetic_images(d)
+    f = extract_features(resize_images(media, 5, 4), dim=6)
+    e = lambda i: F.element_at("features", i).cast("bigint")  # noqa: E731
+    return f.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        e(1).alias("width"),
+        e(2).alias("height"),
+        e(4).alias("sum_r"),
+        e(5).alias("sum_g"),
+        e(6).alias("sum_b"),
+    )
+
+
+SQL_IMG_RESIZE_STATS = """
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h FROM documents
+),
+tgt AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, 19)) AS t FROM d
+),
+src AS (
+  SELECT doc_id,
+         (((t // 5) * h // 4) * w + ((t % 5) * w // 5)) AS p
+  FROM tgt
+)
+SELECT doc_id,
+       CAST(5 AS BIGINT) AS width,
+       CAST(4 AS BIGINT) AS height,
+       CAST(SUM((doc_id * 31 + p * 3) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((doc_id * 31 + p * 3 + 7) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((doc_id * 31 + p * 3 + 14) % 256) AS BIGINT) AS sum_b
+FROM src GROUP BY doc_id
 """
 
 
@@ -2213,6 +2295,8 @@ QUERIES = {
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_ivf_topk": q_emb_ivf_topk,
     "emb_binary_meta": q_emb_binary_meta,
+    "img_channel_stats": q_img_channel_stats,
+    "img_resize_stats": q_img_resize_stats,
 }
 
 ORACLE_SQL = {
@@ -2257,6 +2341,8 @@ ORACLE_SQL = {
     "emb_lsh_buckets": SQL_EMB_LSH_BUCKETS,
     "emb_ivf_topk": SQL_EMB_IVF_TOPK,
     "emb_binary_meta": SQL_EMB_BINARY_META,
+    "img_channel_stats": SQL_IMG_CHANNEL_STATS,
+    "img_resize_stats": SQL_IMG_RESIZE_STATS,
 }
 
 #: execution tier per query.  "production" = the declarative JVM-side

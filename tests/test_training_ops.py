@@ -380,17 +380,41 @@ def test_text_functions(spark, docs):
 
 
 def test_multimodal_plumbing(spark):
+    """extract_features over REAL payloads: PPM/BMP images and WAV audio
+    decoded by the shipped numpy-only codecs (default_registry)."""
+    import numpy as np
+
     from scylla_cdc_rust_spark.operators.multimodal import (
         DecoderRegistry,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
         extract_features,
         media_stats,
     )
 
-    rows = [
-        (f"m{i}", bytes([i] * (10 + i)), ("image" if i % 2 == 0 else "audio",
-         "raw", 4, 4, None, 10 + i))
-        for i in range(20)
-    ]
+    rows = []
+    expect = {}
+    for i in range(20):
+        if i % 2 == 0:
+            w, h = 4 + i % 3, 3 + i % 2
+            px = np.arange(h * w * 3, dtype=np.int64).reshape(h, w, 3) % 256
+            px = ((px + i * 11) % 256).astype(np.uint8)
+            payload = encode_ppm(px) if i % 4 == 0 else encode_bmp(px)
+            sums = px.reshape(-1, 3).sum(axis=0)
+            expect[f"m{i}"] = [float(w), float(h), float(w * h),
+                               float(sums[0]), float(sums[1]), float(sums[2])]
+            rows.append((f"m{i}", payload,
+                         ("image", "raw", w, h, None, len(payload))))
+        else:
+            samples = (np.arange(100 + i, dtype=np.int64) * 37 % 5000 - 2500).astype(
+                np.int16
+            )
+            payload = encode_wav(samples, 8000)
+            expect[f"m{i}"] = [1.0, 8000.0, float(len(samples)),
+                               float(np.abs(samples.astype(np.int64)).sum())]
+            rows.append((f"m{i}", payload,
+                         ("audio", "pcm16", None, None, None, len(payload))))
     media = spark.createDataFrame(
         rows,
         "doc_id string, payload binary, meta struct<media_type:string,"
@@ -398,11 +422,13 @@ def test_multimodal_plumbing(spark):
     )
     feats = extract_features(media, dim=16).collect()
     assert len(feats) == 20 and all(len(r["features"]) == 16 for r in feats)
+    # REAL pixel/sample math: dims + exact channel/abs sums round-trip
+    got = {r["doc_id"]: r["features"] for r in feats}
+    for k, exp in expect.items():
+        assert got[k][: len(exp)] == exp, (k, got[k][:6], exp)
     # determinism: same payload → same features
     f2 = extract_features(media, dim=16).collect()
-    assert {r["doc_id"]: r["features"] for r in feats} == {
-        r["doc_id"]: r["features"] for r in f2
-    }
+    assert got == {r["doc_id"]: r["features"] for r in f2}
     stats = {r["media_type"]: r["n"] for r in media_stats(media).collect()}
     assert stats == {"image": 10, "audio": 10}
     # unregistered codec raises loudly
@@ -411,14 +437,29 @@ def test_multimodal_plumbing(spark):
 
 
 def test_multimodal_resize_and_frame_sampling(spark):
+    """resize_images default path = real decode → nearest-neighbor →
+    re-encode in the same container; pixel values pinned vs numpy."""
+    import numpy as np
+
     from scylla_cdc_rust_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+        nearest_resize,
         resize_images,
         sample_frames,
     )
 
+    px0 = (np.arange(32 * 32 * 3, dtype=np.int64) % 256).reshape(32, 32, 3).astype(
+        np.uint8
+    )
+    px1 = ((np.arange(64 * 64 * 3, dtype=np.int64) * 7) % 256).reshape(
+        64, 64, 3
+    ).astype(np.uint8)
+    p0, p1 = encode_ppm(px0), encode_bmp(px1)
     rows = [
-        ("img0", b"\x01" * 64, ("image", "raw", 32, 32, None, 64)),
-        ("img1", b"\x02" * 64, ("image", "raw", 64, 64, None, 64)),
+        ("img0", p0, ("image", "ppm", 32, 32, None, len(p0))),
+        ("img1", p1, ("image", "bmp", 64, 64, None, len(p1))),
         ("vid0", b"\x03" * 64, ("video", "raw", 16, 16, 3500, 64)),
         ("vid1", b"\x04" * 64, ("video", "raw", 16, 16, 500, 64)),
     ]
@@ -432,6 +473,15 @@ def test_multimodal_resize_and_frame_sampling(spark):
     for r in resized.values():
         assert r["meta"]["width"] == 8 and r["meta"]["height"] == 8
         assert r["meta"]["n_bytes"] == len(r["payload"]) > 0
+    # same container back + exact NN pixel math
+    assert bytes(resized["img0"]["payload"])[:2] == b"P6"
+    assert bytes(resized["img1"]["payload"])[:2] == b"BM"
+    np.testing.assert_array_equal(
+        decode_image(bytes(resized["img0"]["payload"])), nearest_resize(px0, 8, 8)
+    )
+    np.testing.assert_array_equal(
+        decode_image(bytes(resized["img1"]["payload"])), nearest_resize(px1, 8, 8)
+    )
     # determinism
     again = {r["doc_id"]: bytes(r["payload"]) for r in resize_images(media, 8, 8).collect()}
     assert again == {k: bytes(v["payload"]) for k, v in resized.items()}
