@@ -1355,6 +1355,123 @@ SELECT doc_id, cluster_id,
 FROM cc
 """
 
+#: shared oracle prelude: the banded-minhash LSH candidate pairs — the
+#: PRODUCTION pair feed (operators/dedup_docs.minhash_lsh_candidates),
+#: reproduced exactly: distinct 2-gram shingles → md5-prefix word hash →
+#: 8 permutation minima → 4 band hashes (h = (m_even·31 + m_odd) % M31)
+#: → bucket self-join.  At this corpus every bucket is far below the
+#: 10k salting cap, so cap_buckets contributes __sub = 0 for all rows
+#: and the capped Spark plan equals the uncapped oracle.
+_SQL_LSH_CANDIDATES_CTE = f"""
+docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(ws) - 1),
+                i -> ws[i] || '_' || ws[i + 1]))) AS sh
+  FROM docs
+),
+hw AS (SELECT doc_id, {_h_duck("sh")} AS h FROM sh),
+sigs AS (
+  SELECT doc_id,
+         min((h * 1 + 0) % {M31})          AS m0,
+         min((h * 31 + 7) % {M31})         AS m1,
+         min((h * 131 + 3) % {M31})        AS m2,
+         min((h * 997 + 11) % {M31})       AS m3,
+         min((h * 8191 + 19) % {M31})      AS m4,
+         min((h * 131071 + 23) % {M31})    AS m5,
+         min((h * 524287 + 29) % {M31})    AS m6,
+         min((h * {2147483647 % M31} + 31) % {M31}) AS m7
+  FROM hw GROUP BY doc_id
+),
+bu AS (
+  SELECT doc_id, 0 AS band, (m0 * 31 + m1) % {M31} AS bh FROM sigs
+  UNION ALL SELECT doc_id, 1, (m2 * 31 + m3) % {M31} FROM sigs
+  UNION ALL SELECT doc_id, 2, (m4 * 31 + m5) % {M31} FROM sigs
+  UNION ALL SELECT doc_id, 3, (m6 * 31 + m7) % {M31} FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bu a JOIN bu b ON a.band = b.band AND a.bh = b.bh
+                     AND a.doc_id < b.doc_id
+)
+"""
+
+
+def q_doc_lsh_candidates(spark, sf_dir):
+    """PRODUCTION near-dup candidate generation, driver-gated end to end:
+    minhash_signatures → minhash_lsh_candidates with the hot-bucket cap
+    ACTIVE (max_bucket_size=10k — a no-op on this corpus since no bucket
+    comes near the cap, so the oracle's uncapped banding is exact).
+    This is the pair feed the 100 TB dedup pipeline runs — bucketed
+    Σ bucket², never the brute-force all-pairs shingle join that
+    doc_dedup_clusters uses as its verification-tier oracle surface."""
+    from scylla_cdc_rust_spark.operators.dedup_docs import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        release_guard_caches,
+    )
+    from scylla_cdc_rust_spark.session import ensure_min_parallelism
+
+    d = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    sigs = minhash_signatures(d, num_hashes=8)
+    out = minhash_lsh_candidates(
+        sigs, num_hashes=8, bands=4, max_bucket_size=10_000
+    )
+    release_guard_caches()
+    return out
+
+
+SQL_DOC_LSH_CANDIDATES = f"""
+WITH {_SQL_LSH_CANDIDATES_CTE}
+SELECT d1, d2 FROM cand
+"""
+
+
+def q_doc_dedup_clusters_lsh(spark, sf_dir):
+    """The PRODUCTION corpus-dedup path end to end: bucketed LSH
+    candidates (q_doc_lsh_candidates) resolved into connected-component
+    clusters by star contraction (operators/dedup_docs.dedup_clusters).
+    The oracle replays the same banded candidates through a
+    recursive-CTE min-label closure — so both production stages
+    (candidate generation AND transitive clustering) sit behind the
+    value-hash gate, not just the brute-force verification tier."""
+    from pyspark.sql import Window as W
+
+    from scylla_cdc_rust_spark.operators.dedup_docs import (
+        dedup_clusters,
+        release_guard_caches,
+    )
+
+    pairs = q_doc_lsh_candidates(spark, sf_dir)
+    cl = dedup_clusters(pairs)
+    release_guard_caches()
+    return cl.select(
+        F.col("d1").alias("doc_id"),
+        "cluster_id",
+        F.count("*").over(W.partitionBy("cluster_id")).cast("long").alias(
+            "cluster_size"
+        ),
+    )
+
+
+SQL_DOC_DEDUP_CLUSTERS_LSH = f"""
+WITH RECURSIVE {_SQL_LSH_CANDIDATES_CTE},
+edges AS (
+  SELECT d1 AS u, d2 AS v FROM cand UNION SELECT d2, d1 FROM cand
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+  WHERE w.label < e.v
+),
+cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM cc
+"""
+
 
 def q_doc_simhash(spark, sf_dir):
     """SimHash (16-bit) document fingerprints, bucketed — the other
@@ -2284,6 +2401,8 @@ QUERIES = {
     "doc_repetition_stats": q_doc_repetition_stats,
     "doc_pii_scrub": q_doc_pii_scrub,
     "doc_dedup_clusters": q_doc_dedup_clusters,
+    "doc_lsh_candidates": q_doc_lsh_candidates,
+    "doc_dedup_clusters_lsh": q_doc_dedup_clusters_lsh,
     "doc_simhash": q_doc_simhash,
     "doc_simhash_neardups": q_doc_simhash_neardups,
     "doc_fingerprint": q_doc_fingerprint,
@@ -2330,6 +2449,8 @@ ORACLE_SQL = {
     "doc_repetition_stats": SQL_DOC_REPETITION_STATS,
     "doc_pii_scrub": SQL_DOC_PII_SCRUB,
     "doc_dedup_clusters": SQL_DOC_DEDUP_CLUSTERS,
+    "doc_lsh_candidates": SQL_DOC_LSH_CANDIDATES,
+    "doc_dedup_clusters_lsh": SQL_DOC_DEDUP_CLUSTERS_LSH,
     "doc_simhash": SQL_DOC_SIMHASH,
     "doc_simhash_neardups": SQL_DOC_SIMHASH_NEARDUPS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
@@ -2362,5 +2483,10 @@ QUERY_TIERS.update(
         "engine_consumer_replay": "verification",
         "emb_cosine_topk": "verification",
         "doc_ngram_jaccard": "verification",
+        # its cluster stage is the production operator, but the PAIR
+        # feed is the brute-force all-pairs shingle join kept for
+        # oracle-checkability; the production path end to end is
+        # doc_lsh_candidates → doc_dedup_clusters_lsh
+        "doc_dedup_clusters": "verification",
     }
 )
