@@ -29,11 +29,6 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "2000000"))
 N_DOCS = int(os.environ.get("BENCH_CDC_DOCS", "200000"))
 
-# every driver-gate query is timed (VERDICT r3 #3: an untimed query is
-# an invisible regression); populated from the registry at runtime so a
-# new queries.py entry can never be silently missing here
-BENCH_QUERIES: list[str] = []  # filled in main() from queries.QUERIES
-
 #: per-query repetitions inside the ONE warm JVM; the median is
 #: reported.  The sandbox host drifts ±40% across runs (BENCH.md), so
 #: cross-run comparisons need medians of same-session samples.
@@ -138,6 +133,87 @@ def _subprocess_replay(cores: int, log_path: str, reps: int = 1) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _bench_decontam_modes(spark, tmp: str, results: dict, extras: dict) -> None:
+    """Portable (md5, oracle-checkable) vs xxhash64 (production)
+    contamination on a MULTI-FILE corpus layout, interleaved.
+
+    The sf testdata is one parquet file per table, so both modes used to
+    drown in single-scan scheduling overhead and the driver artifact
+    could never see the production-hash win (VERDICT r4 #1).  The corpus
+    is rewritten once into ≥CPUS files — the layout any real corpus has
+    — and the two modes alternate inside the same warm JVM so host
+    drift cancels."""
+    from pyspark.sql import functions as SF
+
+    from scylla_cdc_rust_spark.operators.decontam import ngram_contamination
+    from scylla_cdc_rust_spark.operators.sampling import sample_hash
+
+    mf = os.path.join(tmp, "docs_mf")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(
+        CPUS
+    ).write.mode("overwrite").parquet(mf)
+    docs = spark.read.parquet(mf)
+    bench_flag = sample_hash("doc_id", 16) == SF.lit(0)
+    corpus, benchmark = docs.where(~bench_flag), docs.where(bench_flag)
+    legs: dict[str, list] = {"portable": [], "xxhash64": []}
+    for _ in range(QUERY_REPS):
+        for impl in ("portable", "xxhash64"):
+            t0 = time.time()
+            ngram_contamination(corpus, benchmark, n=3, hash_impl=impl).count()
+            legs[impl].append(round(time.time() - t0, 3))
+    for impl, key in (("portable", "doc_ngram_contamination_mf"),
+                      ("xxhash64", "doc_ngram_contamination_xxh")):
+        s = sorted(legs[impl])
+        results[key] = s[len(s) // 2]
+        log(f"{key}: median {results[key]:.2f}s of {legs[impl]} (multi-file)")
+    extras["decontam_legs"] = legs
+
+
+def _bench_changelog_split(spark, tmp: str, results: dict) -> None:
+    """engine_changelog cost attribution (VERDICT r4 #7): the driver
+    query builds TWO COW snapshots and then diffs them; one timing hid
+    which half regressed.  Reproduce the same scenario and time the
+    halves separately."""
+    from pyspark.sql import functions as SF
+
+    from scylla_cdc_rust_spark import model as M
+    from scylla_cdc_rust_spark.functions.decode import decode
+    from scylla_cdc_rust_spark.operators.fold import fold_delta
+    from scylla_cdc_rust_spark.operators.merge import ParquetMergeTable
+    from scylla_cdc_rust_spark.queries import _cdc_shaped_log
+
+    setup_s, diff_s = [], []
+    for i in range(QUERY_REPS):
+        t0 = time.time()
+        log_df = _cdc_shaped_log(spark, SF_DIR)
+        cut = log_df.agg(
+            ((SF.min(M.TIME_MS) + SF.max(M.TIME_MS)) / 2).cast("long")
+        ).first()[0]
+        table = ParquetMergeTable(
+            spark, os.path.join(tmp, f"chsplit_{i}"), num_buckets=8
+        )
+        for half in (
+            log_df.where(SF.col(M.TIME_MS) <= cut),
+            log_df.where(SF.col(M.TIME_MS) > cut),
+        ):
+            delta = fold_delta(decode(half), collection_modes={"tokens": "set"})
+            table.merge(
+                delta,
+                payload=["tokens", "n_tok", "source"],
+                collection_modes={"tokens": "set"},
+                assume_all_buckets=True,
+            )
+        setup_s.append(time.time() - t0)
+        t0 = time.time()
+        table.read_changes(1, 2).count()
+        diff_s.append(time.time() - t0)
+    for key, ss in (("engine_changelog_setup", setup_s),
+                    ("engine_changelog_diff", diff_s)):
+        ss.sort()
+        results[key] = round(ss[len(ss) // 2], 3)
+        log(f"{key}: median {results[key]:.2f}s")
+
+
 def main() -> None:
     scaling = "--scaling" in sys.argv
     if "--replay-only" in sys.argv:
@@ -151,29 +227,51 @@ def main() -> None:
         log_path, n_events = make_log_dir(tmp)
 
         spark = session(CPUS)
-        # headline: end-to-end replay (after JIT warmup, as a steady-state
-        # throughput measurement — cold-start cost reported separately).
-        # 'list' = the tokenized-sequences fast path (input_hint shape);
-        # 'set' = element-delta generality path.
+        # headline: end-to-end replay after JIT warmup.  'list' = the
+        # tokenized-sequences fast path (input_hint shape); 'set' =
+        # element-delta generality path.  The two modes run as
+        # INTERLEAVED legs (list, set, list, set, ...) and the medians
+        # are reported with the raw legs alongside — the sandbox host
+        # drifts enough that a single sample once published a phantom
+        # 1.8× regression (VERDICT r4 #2); interleaving cancels drift
+        # the same way the scaling sandwich does.
         warm_sec, _, _ = run_replay(spark, log_path, tmp, "warmup", "list")
-        sec, eps, applied = run_replay(spark, log_path, tmp, f"c{CPUS}", "list")
-        results[f"cdc_replay_{n_events // 1000}k_events"] = round(sec, 3)
-        extras["replay_events_per_sec"] = round(eps)
+        legs: dict[str, list] = {"list": [], "set": []}
+        applied = n_events
+        n_pairs = int(os.environ.get("BENCH_REPLAY_PAIRS", "3"))
+        for i in range(n_pairs):
+            for mode in ("list", "set"):
+                sec_i, eps_i, applied = run_replay(
+                    spark, log_path, tmp, f"{mode}{i}", mode
+                )
+                legs[mode].append((round(sec_i, 3), round(eps_i)))
+                log(f"replay[{mode}] leg {i}: {sec_i:.1f}s {eps_i:,.0f} ev/s")
+
+        def med(mode):
+            s = sorted(x[0] for x in legs[mode])
+            return s[len(s) // 2]
+
+        sec, sec_s = med("list"), med("set")
+        results[f"cdc_replay_{n_events // 1000}k_events"] = sec
+        results[f"cdc_replay_setmode_{n_events // 1000}k_events"] = sec_s
+        extras["replay_events_per_sec"] = round(applied / sec)
+        extras["replay_setmode_events_per_sec"] = round(applied / sec_s)
         extras["replay_cold_start_sec"] = round(warm_sec, 3)
         extras["replay_n_events"] = applied
-        log(f"replay[list] local[{CPUS}]: {sec:.1f}s  {eps:,.0f} events/s (cold {warm_sec:.1f}s)")
-        sec_s, eps_s, _ = run_replay(spark, log_path, tmp, "setmode", "set")
-        results[f"cdc_replay_setmode_{n_events // 1000}k_events"] = round(sec_s, 3)
-        extras["replay_setmode_events_per_sec"] = round(eps_s)
-        log(f"replay[set] local[{CPUS}]: {sec_s:.1f}s  {eps_s:,.0f} events/s")
+        extras["replay_legs"] = legs
+        log(f"replay medians over {n_pairs} interleaved pairs: "
+            f"list {sec:.1f}s ({applied / sec:,.0f} ev/s), "
+            f"set {sec_s:.1f}s ({applied / sec_s:,.0f} ev/s)")
 
-        # operator queries on driver testdata: ALL registered queries,
-        # median of QUERY_REPS runs each, one warm JVM (build + exec
-        # timed together — plan-build cost is part of query latency)
+        # operator queries on driver testdata: ALL registered queries
+        # (the registry-driven sweep — a new queries.py entry can never
+        # be silently missing here), median of QUERY_REPS runs each,
+        # one warm JVM (build + exec timed together — plan-build cost
+        # is part of query latency)
+        from scylla_cdc_rust_spark.operators import dedup_docs
         from scylla_cdc_rust_spark.queries import QUERIES
 
-        names = BENCH_QUERIES or list(QUERIES)
-        for name in names:
+        for name in list(QUERIES):
             samples = []
             n = None
             for _ in range(QUERY_REPS):
@@ -183,34 +281,17 @@ def main() -> None:
             samples.sort()
             dt = samples[len(samples) // 2]
             results[name] = round(dt, 3)
+            note = ""
+            if name.startswith("doc_dedup_clusters") and (
+                dedup_docs.LAST_CONVERGENCE_ROUNDS is not None
+            ):
+                extras[f"{name}_cc_rounds"] = dedup_docs.LAST_CONVERGENCE_ROUNDS
+                note = f", {dedup_docs.LAST_CONVERGENCE_ROUNDS} cc rounds"
             log(f"{name}: median {dt:.2f}s of {[round(s, 2) for s in samples]}"
-                f" ({n} rows)")
+                f" ({n} rows{note})")
 
-        # production-hash decontamination (hash_impl='xxhash64'): no
-        # DuckDB oracle (JVM-only hash) — correctness is pinned by the
-        # portable-vs-xxhash64 parity pytest; timed here so the fast
-        # path has regression visibility (VERDICT r3 #5)
-        from pyspark.sql import functions as SF
-
-        from scylla_cdc_rust_spark.operators.decontam import ngram_contamination
-        from scylla_cdc_rust_spark.operators.sampling import sample_hash
-
-        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        bench_flag = sample_hash("doc_id", 16) == SF.lit(0)
-        samples = []
-        for _ in range(QUERY_REPS):
-            t0 = time.time()
-            ngram_contamination(
-                docs.where(~bench_flag), docs.where(bench_flag),
-                n=3, hash_impl="xxhash64",
-            ).count()
-            samples.append(time.time() - t0)
-        samples.sort()
-        results["doc_ngram_contamination_xxh"] = round(
-            samples[len(samples) // 2], 3
-        )
-        log(f"doc_ngram_contamination_xxh: median "
-            f"{results['doc_ngram_contamination_xxh']:.2f}s")
+        _bench_decontam_modes(spark, tmp, results, extras)
+        _bench_changelog_split(spark, tmp, results)
         spark.stop()
 
         if scaling:

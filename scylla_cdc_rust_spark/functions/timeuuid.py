@@ -162,43 +162,91 @@ def resolve_clockseq_collisions(df, stream_col: str | None = None):
     FULL timeuuid order (consumer.rs:193-194) even when two writers
     share a 100ns tick.
 
-    Within each (stream, ms) group, seq becomes the dense rank of
-    (seq, clock_seq, node) — i.e. of (60-bit timestamp, remaining uuid
-    bytes), the exact timeuuid comparison the reference's clustering
-    key uses.  Rows of one write batch share the uuid, keep one seq,
-    and stay ordered by cdc$batch_seq_no in ord's low bits.  The remap
-    is stable across micro-batches because windows bound on cdc_time_ms
-    half-open — one (stream, ms) group is never split.  The raw 100ns
-    remainder stays available as ``cdc_time_seq_raw``; µs write-
-    timestamp propagation (``timeuuid_to_us``) reads the uuid directly
-    and is unaffected.
+    Within each COLLIDING (stream, ms) group, seq becomes the dense
+    rank of (seq, clock_seq, node) — i.e. of (60-bit timestamp,
+    remaining uuid bytes), the exact timeuuid comparison the
+    reference's clustering key uses.  Rows of one write batch share the
+    uuid, keep one seq, and stay ordered by cdc$batch_seq_no in ord's
+    low bits.  Collision-free groups keep their raw seq — both forms
+    are monotone in full-uuid order and ord compares ms first, so
+    cross-group order is unaffected.  The remap is stable across
+    micro-batches because windows bound on cdc_time_ms half-open — one
+    (stream, ms) group is never split.  The raw 100ns remainder is
+    always available as ``cdc_time_seq_raw`` (stable schema); µs
+    write-timestamp propagation (``timeuuid_to_us``) reads the uuid
+    directly and is unaffected.
 
-    Cost: one collision probe (map-side-combinable agg, one row per
-    distinct tick) and — only when a collision actually exists — one
-    window over (stream, ms).  Collision-free logs (single writer per
-    stream per tick, the overwhelmingly common case) pay only the probe.
+    Fully LAZY, and the log itself never shuffles: colliding ticks come
+    from a map-side-combinable aggregate (one row per distinct tick);
+    the (tick, uuid-tail) → dense-rank remap is built from only the
+    colliding groups' rows and broadcast back as an equi-join.  A
+    collision-free log (the overwhelmingly common case) broadcasts two
+    empty sets — with AQE, the remap-side scan collapses to an empty
+    relation at runtime — and no plan-build Spark job runs at all
+    (the old eager ``.first()`` probe ran the upstream scan once per
+    ``decode()`` call; ADVICE r4).  A pathological log where most ticks
+    collide makes the broadcast remap large — that is what
+    ``strict=True`` quarantine is for.
     """
-    from pyspark.sql import Window
-
     from scylla_cdc_rust_spark.model import TIME_MS, TIME_SEQ
 
-    if _clockseq_collisions(df, stream_col).first() is None:
-        return df
-    w = Window.partitionBy(
-        _stream_expr(df, stream_col), F.col(TIME_MS)
-    ).orderBy(F.col(TIME_SEQ), _uuid_lo())
-    seq2 = F.dense_rank().over(w).cast("long") - 1
-    return df.withColumn("cdc_time_seq_raw", F.col(TIME_SEQ)).withColumn(
-        TIME_SEQ,
-        F.when(seq2 <= F.lit(_SEQ_CAP), seq2).otherwise(
-            F.raise_error(
-                F.format_string(
-                    "over %d distinct timeuuids inside one (stream, ms) "
-                    "group — seq re-rank does not fit ord's 14-bit field",
-                    F.lit(_SEQ_CAP + 1),
+    stream = _stream_expr(df, stream_col)
+    bad = (
+        _clockseq_collisions(df, stream_col)
+        .select(F.col("__stream").alias("__bs"), F.col(TIME_MS).alias("__bms"))
+        .distinct()
+    )
+    hit = df.join(
+        F.broadcast(bad),
+        (stream == F.col("__bs")) & (F.col(TIME_MS) == F.col("__bms")),
+    )
+    remap = (
+        hit.select(
+            F.col("__bs").alias("__s"),
+            F.col("__bms").alias("__ms"),
+            F.col(TIME_SEQ).alias("__seq"),
+            _uuid_lo().alias("__lo"),
+        )
+        .distinct()
+        .groupBy("__s", "__ms")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__seq"), F.col("__lo")))
+            ).alias("ks")
+        )
+        .select("__s", "__ms", F.posexplode("ks").alias("__new_seq", "__k"))
+        .select(
+            "__s",
+            "__ms",
+            F.col("__k.__seq").alias("__seq"),
+            F.col("__k.__lo").alias("__lo"),
+            F.col("__new_seq").cast("long").alias("__new_seq"),
+        )
+    )
+    out = df.join(
+        F.broadcast(remap),
+        (stream == F.col("__s"))
+        & (F.col(TIME_MS) == F.col("__ms"))
+        & (F.col(TIME_SEQ) == F.col("__seq"))
+        & (_uuid_lo() == F.col("__lo")),
+        "left",
+    )
+    seq2 = F.coalesce(F.col("__new_seq"), F.col(TIME_SEQ))
+    return (
+        out.withColumn("cdc_time_seq_raw", F.col(TIME_SEQ))
+        .withColumn(
+            TIME_SEQ,
+            F.when(seq2 <= F.lit(_SEQ_CAP), seq2).otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "over %d distinct timeuuids inside one (stream, ms) "
+                        "group — seq re-rank does not fit ord's 14-bit field",
+                        F.lit(_SEQ_CAP + 1),
+                    )
                 )
-            )
-        ),
+            ),
+        )
+        .drop("__s", "__ms", "__seq", "__lo", "__new_seq")
     )
 
 

@@ -49,19 +49,16 @@ def ngram_hashes(
             lambda i: word_hash(F.concat_ws(" ", F.slice(ws, i, n))),
         )
     elif hash_impl == "xxhash64":
-        # hash each word ONCE, combine per-gram with the order-sensitive
-        # xxhash64(acc, word_hash) fold — avoids materializing and
-        # re-hashing an n-word string per gram, which is where the
-        # portable mode actually spends its time (and stays legal under
-        # ANSI mode, unlike a wrapping polynomial multiply)
-        hw = F.transform(ws, lambda w: F.xxhash64(w))
+        # one xxhash64 of the joined gram string — same operator shape
+        # as portable with the md5+conv+mod pipeline replaced by a
+        # single cheap JVM hash.  (A prehash-words + per-gram
+        # xxhash64-fold variant was A/B'd in round 5: the fold's extra
+        # HigherOrderFunction evaluation costs more than the string
+        # concat it saves — 1.15 s vs 1.05 s median at sf0.1, with a
+        # 4× worse first-leg codegen warmup.)
         grams = F.transform(
-            F.sequence(F.lit(1), F.size(hw) - F.lit(n - 1)),
-            lambda i: F.aggregate(
-                F.slice(hw, i, n),
-                F.lit(0).cast("long"),
-                lambda a, x: F.xxhash64(a, x),
-            ),
+            F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(ws, i, n))),
         )
     else:
         raise ValueError(f"unknown hash_impl: {hash_impl!r}")

@@ -108,6 +108,11 @@ def cap_buckets(
 MINHASH_PARAMS = [(1, 0), (31, 7), (131, 3), (997, 11), (8191, 19), (131071, 23),
                   (524287, 29), (2147483647 % M31, 31)]
 
+#: star-contraction rounds the most recent dedup_clusters call took to
+#: converge — bench telemetry (round count explains run-to-run timing
+#: spread: cost ≈ rounds × localCheckpoint)
+LAST_CONVERGENCE_ROUNDS: int | None = None
+
 
 def exact_dedup(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
     """Keep one survivor (min key) per exact content digest."""
@@ -365,9 +370,10 @@ def dedup_clusters(
         ).first()
         return r["n"], r["s"]
 
+    global LAST_CONVERGENCE_ROUNDS
     e = _canon(e).localCheckpoint(eager=True)
     sig = _signature(e)
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         # large-star: for every node, link its LARGER neighbors to the
         # minimum of the closed neighborhood
         bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -400,6 +406,7 @@ def dedup_clusters(
         nsig = _signature(nxt)
         e = nxt
         if nsig == sig:
+            LAST_CONVERGENCE_ROUNDS = _round + 1
             break
         sig = nsig
     else:

@@ -44,13 +44,25 @@ def pii_scrub(
     df: DataFrame, text_col: str = "text", out_col: str | None = None
 ) -> DataFrame:
     """Scrub ``text_col`` (in place by default) and attach per-class
-    match counts ``n_emails`` / ``n_ips`` / ``n_longnums``."""
+    match counts ``n_emails`` / ``n_ips`` / ``n_longnums``.
+
+    When scrubbing in place the output keeps the input's column order
+    (downstream positional consumers see the same schema); a
+    pre-existing count column raises instead of silently duplicating."""
     out_col = out_col or text_col
     c = F.col(text_col)
     counts = []
     for name, pat, tok in PII_CLASSES:
+        if f"n_{name}" in df.columns:
+            raise ValueError(
+                f"input already has a column 'n_{name}'; rename it before "
+                "pii_scrub (refusing to emit a duplicate column name)"
+            )
         counts.append(F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{name}"))
         c = F.regexp_replace(c, pat, tok)
-    return df.select(
-        *[x for x in df.columns if x != out_col], *counts, c.alias(out_col)
-    )
+    passthrough = [
+        c.alias(out_col) if x == out_col else F.col(x) for x in df.columns
+    ]
+    if out_col not in df.columns:
+        passthrough.append(c.alias(out_col))
+    return df.select(*passthrough, *counts)

@@ -39,6 +39,18 @@ from scylla_cdc_rust_spark.operators.sampling import (
 )
 
 
+def _resolve_n_shards(docs: DataFrame, n_shards: int | None) -> int:
+    """Default pack-accounting shards = the session's parallelism.
+
+    The pack cumsum is a per-shard sort window: a FIXED small default
+    (the old 4) would sort the whole corpus in 4 tasks at 100 TB.
+    Deterministic output still needs a pinned value — oracles pass
+    n_shards explicitly; only the unspecified case scales."""
+    if n_shards is not None:
+        return n_shards
+    return max(4, docs.sparkSession.sparkContext.defaultParallelism)
+
+
 def curation_stages(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
@@ -49,7 +61,7 @@ def curation_stages(
     strata_col: str = "lang",
     default_rate: float = 1.0,
     seq_len: int = 2048,
-    n_shards: int = 4,
+    n_shards: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> dict[str, DataFrame]:
@@ -59,7 +71,9 @@ def curation_stages(
     ``benchmark=None`` makes decontamination a no-op;
     ``sample_rates=None`` with ``default_rate=1.0`` makes sampling a
     no-op (the stage keys are always present either way).
+    ``n_shards=None`` scales with the session (_resolve_n_shards).
     """
+    n_shards = _resolve_n_shards(docs, n_shards)
     quality = docs.where(quality_score(F.col(text_col)) >= F.lit(quality_min))
 
     survivors = quality.groupBy(F.md5(F.col(text_col)).alias("__h")).agg(
@@ -119,7 +133,7 @@ def curation_funnel(
     strata_col: str = "lang",
     default_rate: float = 1.0,
     seq_len: int = 2048,
-    n_shards: int = 4,
+    n_shards: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -143,6 +157,7 @@ def curation_funnel(
     # the tagged projection stacks quality scoring + digest + n-gram
     # hashing on the scan — fan small inputs out first (no-op at scale)
     docs = ensure_min_parallelism(docs)
+    n_shards = _resolve_n_shards(docs, n_shards)
     sampling_active = bool(sample_rates) or default_rate < 1.0
     idc = F.col(id_col)
     cols = [

@@ -94,3 +94,35 @@ def test_train_pipeline_cli(spark, tmp_path):
     ).collect()
     assert sum(r["toks"] for r in acct) == man["n_tokens"]
     assert all(r["packs"] * 256 >= r["toks"] for r in acct)
+
+
+def test_funnel_pack_shards_scale_with_session(spark, corpus):
+    """VERDICT r4 #4: the pack-accounting cumsum must not default to a
+    fixed 4-shard sort at scale — unspecified n_shards follows the
+    session's parallelism, and the funnel headline counts are
+    shard-invariant."""
+    from scylla_cdc_rust_spark.plans.curation import (
+        _resolve_n_shards,
+        curation_funnel,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    assert _resolve_n_shards(corpus, None) == max(4, cores)
+    assert _resolve_n_shards(corpus, 7) == 7
+
+    dyn = curation_funnel(corpus).collect()[0]
+    fixed = curation_funnel(corpus, n_shards=4).collect()[0]
+    shards = corpus.sparkSession.createDataFrame(
+        [(i,) for i in range(max(4, cores))], "s int"
+    )
+    # every headline counter except pack count is sharding-invariant
+    for c in ("n_total", "n_quality", "n_after_dedup", "n_clean",
+              "n_sampled", "n_tokens"):
+        assert dyn[c] == fixed[c], c
+    # pack counts stay sane: >= ceil(tokens/seq_len), <= one partial
+    # pack of waste per shard
+    import math
+
+    lo = math.ceil(dyn["n_tokens"] / 2048)
+    assert lo <= dyn["n_packs"] <= lo + max(4, cores)
+    assert lo <= fixed["n_packs"] <= lo + 4

@@ -587,13 +587,16 @@ def test_timeuuid_clock_seq_fidelity(spark):
     assert res[100]["cdc_time_seq_raw"] == res[200]["cdc_time_seq_raw"] == 0
     assert res[100]["cdc_time_ms"] == res[200]["cdc_time_ms"]
     # same tick in DIFFERENT streams: never compared — allowed, and the
-    # default mode leaves collision-free frames untouched (no re-rank)
+    # default mode leaves collision-free frames' seqs untouched (the
+    # lazy resolver always carries the raw column for schema stability,
+    # equal to seq when nothing was re-ranked)
     cross = spark.createDataFrame(
         [("s1", _v1_uuid(t0, 100)), ("s2", _v1_uuid(t0, 200))],
         "`cdc$stream_id` string, `cdc$time` binary",
     )
     assert with_decoded_timeuuid(cross, strict=True).count() == 2
-    assert "cdc_time_seq_raw" not in with_decoded_timeuuid(cross).columns
+    for r in with_decoded_timeuuid(cross).collect():
+        assert r["cdc_time_seq_raw"] == r["cdc_time_seq"]
     # strict=False: skip the probe entirely (synthetic-log fast path)
     assert with_decoded_timeuuid(bad, strict=False).count() == 2
 
@@ -913,6 +916,14 @@ def test_pii_scrub(spark):
 
     plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+    # in-place scrub preserves the input column ORDER (positional
+    # consumers), counts append at the end; pre-existing count columns
+    # raise instead of duplicating the name
+    assert pii_scrub(df).columns == ["doc_id", "text", "n_emails", "n_ips",
+                                     "n_longnums"]
+    with pytest.raises(ValueError, match="n_emails"):
+        pii_scrub(df.withColumn("n_emails", F.lit(0)))
 
 
 def test_fold_plan_partial_aggregation(spark):
