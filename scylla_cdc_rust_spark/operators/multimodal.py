@@ -520,6 +520,42 @@ def synthetic_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synthetic_wavs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic WAV corpus (mono PCM16 @ 8 kHz) with a
+    closed-form sample law a SQL oracle reproduces without a codec:
+
+        n = 64 + id % 32
+        s(i) = ((id·7 + i·13) % 4001) − 2000      (i = 0..n−1)
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, metas = [], [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                n = 64 + did % 32
+                i = np.arange(n, dtype=np.int64)
+                samples = ((did * 7 + i * 13) % 4001 - 2000).astype(np.int16)
+                payload = encode_wav(samples, 8000)
+                ids.append(str(did))
+                payloads.append(payload)
+                metas.append(
+                    {
+                        "media_type": "audio",
+                        "codec": "pcm16",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": (n * 1000) // 8000,
+                        "n_bytes": len(payload),
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Metadata accounting without touching payload bytes (column pruning:
     the binary column must NOT appear in this plan's scan)."""

@@ -1821,6 +1821,149 @@ FROM src GROUP BY doc_id
 """
 
 
+def q_emb_neardup_clusters(spark, sf_dir):
+    """Embedding near-dup dedup, production shape end to end: hyperplane
+    LSH bucketing (the emb_lsh_buckets stage) → exact cosine ≥ 0.99
+    verification WITHIN buckets only (never all-pairs) → connected-
+    component clusters (star contraction).  The synthetic corpus has no
+    natural near-dups (max pairwise cosine ≈ 0.48), so every 20th
+    vector is planted back as an exact duplicate under vec_id+100000 —
+    identically in the oracle — giving real cluster structure; exact
+    duplicates always share all hyperplane signs, so bucketing loses
+    none.  At scale the plane count grows with corpus size (buckets =
+    2^planes) and hot buckets get the cap_buckets salting guard; 4
+    planes keep this oracle-checkable corpus-sized."""
+    from pyspark.sql import Window as W2
+
+    from scylla_cdc_rust_spark.operators.dedup_docs import dedup_clusters
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    planted = e.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "v"
+    )
+    allv = e.unionByName(planted)
+    terms = []
+    for j in range(4):
+        dot = " + ".join(
+            f"element_at(v, {d + 1}) * {((j * 131 + d * 197) % 17) - 8}"
+            for d in range(0, 64, 4)
+        )
+        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END)")
+    b = allv.select(
+        "vec_id", "v", F.expr("CAST(" + " + ".join(terms) + " AS INTEGER)").alias("bucket")
+    )
+    x, y = b.alias("x"), b.alias("y")
+    dot = F.expr("aggregate(zip_with(xv, yv, (p, q) -> p * q), 0D, (a, p) -> a + p)")
+    nx = F.sqrt(F.expr("aggregate(xv, 0D, (a, p) -> a + p * p)"))
+    ny = F.sqrt(F.expr("aggregate(yv, 0D, (a, p) -> a + p * p)"))
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("d1"),
+            F.col("y.vec_id").alias("d2"),
+            F.col("x.v").alias("xv"),
+            F.col("y.v").alias("yv"),
+        )
+        .where(F.round(dot / (nx * ny), 4) >= 0.99)
+        .select("d1", "d2")
+    )
+    cl = dedup_clusters(pairs)
+    return cl.select(
+        F.col("d1").alias("vec_id"),
+        "cluster_id",
+        F.count("*").over(W2.partitionBy("cluster_id")).cast("long").alias(
+            "cluster_size"
+        ),
+    )
+
+
+SQL_EMB_NEARDUP_CLUSTERS = f"""
+WITH RECURSIVE base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+allv AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000, v FROM base WHERE vec_id % 20 = 0
+),
+b AS (SELECT vec_id, v, {_duck_lsh_bucket().replace("embedding[", "v[")} AS bucket
+      FROM allv),
+pairs AS (
+  SELECT x.vec_id AS d1, y.vec_id AS d2
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  WHERE round(
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1, len(x.v)), i -> x.v[i] * y.v[i])),
+            (a, p) -> a + p)
+          / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(x.v, p -> p * p)), (a, p) -> a + p))
+             * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(y.v, p -> p * p)), (a, p) -> a + p))),
+          4) >= 0.99
+),
+edges AS (
+  SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+  WHERE w.label < e.v
+),
+cc AS (SELECT node AS vec_id, min(label) AS cluster_id FROM walk GROUP BY node)
+SELECT vec_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM cc
+"""
+
+
+def q_audio_sample_stats(spark, sf_dir):
+    """REAL audio decode driver gate: one deterministic mono PCM16 WAV
+    per document (sample law s(i) = (id·7 + i·13) % 4001 − 2000,
+    n = 64 + id % 32, 8 kHz), encoded AND decoded by the shipped
+    numpy-only RIFF/WAVE codec inside mapInPandas (extract_features,
+    default registry).  Exact integer outputs — channel count, rate,
+    sample count, Σ|s| — reproduced arithmetically by the DuckDB
+    oracle, so a chunk-walk or byte-order bug hash-mismatches."""
+    from scylla_cdc_rust_spark.operators.multimodal import (
+        extract_features,
+        synthetic_wavs,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    f = extract_features(synthetic_wavs(d), dim=4)
+    e = lambda i: F.element_at("features", i).cast("bigint")  # noqa: E731
+    return f.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        e(1).alias("n_channels"),
+        e(2).alias("sample_rate"),
+        e(3).alias("n_samples"),
+        e(4).alias("sum_abs"),
+    )
+
+
+SQL_AUDIO_SAMPLE_STATS = """
+WITH d AS (SELECT doc_id, 64 + doc_id % 32 AS n FROM documents),
+s AS (
+  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d
+)
+SELECT doc_id,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(SUM(abs((doc_id * 7 + i * 13) % 4001 - 2000)) AS BIGINT) AS sum_abs
+FROM s GROUP BY doc_id, n
+"""
+
+
 def q_emb_ivf_topk(spark, sf_dir):
     """IVF ANN probe path (operators/ann.py IVFQuantizer / ivf_topk):
     candidates assigned to their nearest coarse cell, each query probes
@@ -2416,6 +2559,8 @@ QUERIES = {
     "emb_binary_meta": q_emb_binary_meta,
     "img_channel_stats": q_img_channel_stats,
     "img_resize_stats": q_img_resize_stats,
+    "audio_sample_stats": q_audio_sample_stats,
+    "emb_neardup_clusters": q_emb_neardup_clusters,
 }
 
 ORACLE_SQL = {
@@ -2464,6 +2609,8 @@ ORACLE_SQL = {
     "emb_binary_meta": SQL_EMB_BINARY_META,
     "img_channel_stats": SQL_IMG_CHANNEL_STATS,
     "img_resize_stats": SQL_IMG_RESIZE_STATS,
+    "audio_sample_stats": SQL_AUDIO_SAMPLE_STATS,
+    "emb_neardup_clusters": SQL_EMB_NEARDUP_CLUSTERS,
 }
 
 #: execution tier per query.  "production" = the declarative JVM-side
