@@ -69,25 +69,48 @@ def ngram_hashes(
     )
 
 
-def ngram_contamination(
+def token_ngram_hashes(
+    tokens: Column | str, n: int, hash_impl: str = "portable"
+) -> Column:
+    """Array of hashes of the token-id n-grams of an ``array<int>``
+    column — decontamination for the input_hint shape (pre-tokenized
+    training sequences), no text round-trip.
+
+    ``"portable"`` folds ``a = (a·31 + t) % M31`` (closed-form
+    reproducible in DuckDB, ANSI-safe: a < M31 so a·31 + t < 2^35);
+    ``"xxhash64"`` folds the JVM hash (production mode — ints need no
+    pre-hash, so the fold variant that lost the word A/B is the right
+    shape here).
+    """
+    ts = F.col(tokens) if isinstance(tokens, str) else tokens
+    if hash_impl == "portable":
+        fold = lambda a, x: (a * 31 + x) % F.lit(  # noqa: E731
+            1_000_000_007
+        ).cast("long")
+    elif hash_impl == "xxhash64":
+        fold = lambda a, x: F.xxhash64(a, x)  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_impl: {hash_impl!r}")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ts) - F.lit(n - 1)),
+        lambda i: F.aggregate(
+            F.slice(ts, i, n), F.lit(0).cast("long"), fold
+        ),
+    )
+    return F.when(F.size(ts) >= n, grams).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
+def _contamination_stats(
     corpus: DataFrame,
     benchmark: DataFrame,
-    n: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    hash_impl: str = "portable",
+    grams_of,
+    id_col: str,
 ) -> DataFrame:
-    """Per-document contamination stats vs a benchmark set.
-
-    Returns one row per corpus document that has ≥1 n-gram also present
-    in the benchmark: (id, n_ngrams, n_contaminated, contamination) —
-    contamination = distinct matched n-grams / distinct own n-grams.
-    Documents with no overlap are absent (filter the corpus with a
-    left-anti join on the result to decontaminate).
-
-    ``hash_impl="xxhash64"`` is the production mode (see
-    ``ngram_hashes``); the default stays oracle-portable.
-    """
+    """Shared skeleton: per-document distinct-gram overlap counts vs the
+    benchmark's broadcast gram set.  ``grams_of(df_side)`` returns the
+    gram-array Column for a side."""
     from scylla_cdc_rust_spark.functions.generate_util import explode_nonnull
     from scylla_cdc_rust_spark.session import ensure_min_parallelism
 
@@ -96,9 +119,7 @@ def ngram_contamination(
     # its serial gram hashing saves (A/B'd at sf0.1).  explode_nonnull
     # (not explode): the inferred size>0 filter would re-evaluate the
     # whole gram hash in the scan stage (generate_util docstring)
-    bench = explode_nonnull(
-        benchmark, ngram_hashes(text_col, n, hash_impl), "h"
-    ).distinct()
+    bench = explode_nonnull(benchmark, grams_of(benchmark), "h").distinct()
     # ONE corpus scan: per-doc distinct grams with the doc's total
     # carried alongside, exploded into the broadcast probe.  Small
     # inputs are fanned out first — the gram projection is the cost
@@ -111,7 +132,7 @@ def ngram_contamination(
     doc_grams = explode_nonnull(
         corpus.select(
             F.col(id_col).alias("id"),
-            F.array_distinct(ngram_hashes(text_col, n, hash_impl)).alias("gs"),
+            F.array_distinct(grams_of(corpus)).alias("gs"),
         ).select("id", F.size("gs").alias("n_ngrams"), "gs"),
         F.col("gs"),
         "h",
@@ -132,4 +153,51 @@ def ngram_contamination(
                 6,
             ).alias("contamination"),
         )
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_impl: str = "portable",
+) -> DataFrame:
+    """Per-document contamination stats vs a benchmark set.
+
+    Returns one row per corpus document that has ≥1 n-gram also present
+    in the benchmark: (id, n_ngrams, n_contaminated, contamination) —
+    contamination = distinct matched n-grams / distinct own n-grams.
+    Documents with no overlap are absent (filter the corpus with a
+    left-anti join on the result to decontaminate).
+
+    ``hash_impl="xxhash64"`` is the production mode (see
+    ``ngram_hashes``); the default stays oracle-portable.
+    """
+    return _contamination_stats(
+        corpus,
+        benchmark,
+        lambda _df: ngram_hashes(text_col, n, hash_impl),
+        id_col,
+    )
+
+
+def token_ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    hash_impl: str = "portable",
+) -> DataFrame:
+    """``ngram_contamination`` for PRE-TOKENIZED sequences — the engine's
+    target-table shape (doc_id, tokens array<int>): token-id n-gram
+    overlap vs a benchmark set, same broadcast-probe scale shape, no
+    detokenization round-trip."""
+    return _contamination_stats(
+        corpus,
+        benchmark,
+        lambda _df: token_ngram_hashes(tokens_col, n, hash_impl),
+        id_col,
     )

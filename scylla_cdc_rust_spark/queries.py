@@ -1821,6 +1821,61 @@ FROM src GROUP BY doc_id
 """
 
 
+def q_tok_ngram_contamination(spark, sf_dir):
+    """Decontamination on PRE-TOKENIZED sequences — the engine's target
+    shape (doc_id, tokens array<int>), no detokenization round-trip
+    (operators/decontam.token_ngram_contamination).  Tokens are derived
+    deterministically from the text (portable word hash mod 32000 —
+    identically in the oracle); token 3-gram hashes fold as
+    a = (a·31 + t) % M31, closed-form reproducible in SQL; benchmark =
+    the 1-in-16 doc_id hash slice, its distinct gram set broadcast."""
+    from scylla_cdc_rust_spark.functions.text import word_hash
+    from scylla_cdc_rust_spark.operators.decontam import (
+        token_ngram_contamination,
+    )
+    from scylla_cdc_rust_spark.operators.sampling import sample_hash
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.transform(
+            F.split("text", " "), lambda w: word_hash(w) % 32000
+        ).alias("tokens"),
+    )
+    is_bench = sample_hash("doc_id", 16) == 0
+    out = token_ngram_contamination(
+        corpus=d.where(~is_bench), benchmark=d.where(is_bench), n=3
+    )
+    return out.select("doc_id", "n_ngrams", "n_contaminated", "contamination")
+
+
+SQL_TOK_NGRAM_CONTAMINATION = f"""
+WITH tagged AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        w -> ({_h_duck("w")}) % 32000) AS toks,
+         {_h_duck("CAST(doc_id AS VARCHAR)")} % 16 = 0 AS is_bench
+  FROM documents
+), grams AS (
+  SELECT doc_id, is_bench,
+         ((toks[i] * 31 + toks[i + 1]) % {M31} * 31 + toks[i + 2]) % {M31} AS h
+  FROM tagged, UNNEST(range(1, greatest(len(toks) - 3, 0) + 2)) AS t(i)
+  WHERE len(toks) >= 3
+), bench AS (
+  SELECT DISTINCT h FROM grams WHERE is_bench
+), corp AS (
+  SELECT DISTINCT doc_id, h FROM grams WHERE NOT is_bench
+), totals AS (
+  SELECT doc_id, count(*) AS n_ngrams FROM corp GROUP BY doc_id
+), matched AS (
+  SELECT c.doc_id, count(*) AS n_contaminated
+  FROM corp c JOIN bench USING (h) GROUP BY c.doc_id
+)
+SELECT m.doc_id, t.n_ngrams, m.n_contaminated,
+       round(m.n_contaminated / CAST(t.n_ngrams AS DOUBLE), 6) AS contamination
+FROM matched m JOIN totals t USING (doc_id)
+"""
+
+
 def q_emb_neardup_clusters(spark, sf_dir):
     """Embedding near-dup dedup, production shape end to end: hyperplane
     LSH bucketing (the emb_lsh_buckets stage) → exact cosine ≥ 0.99
@@ -2561,6 +2616,7 @@ QUERIES = {
     "img_resize_stats": q_img_resize_stats,
     "audio_sample_stats": q_audio_sample_stats,
     "emb_neardup_clusters": q_emb_neardup_clusters,
+    "tok_ngram_contamination": q_tok_ngram_contamination,
 }
 
 ORACLE_SQL = {
@@ -2611,6 +2667,7 @@ ORACLE_SQL = {
     "img_resize_stats": SQL_IMG_RESIZE_STATS,
     "audio_sample_stats": SQL_AUDIO_SAMPLE_STATS,
     "emb_neardup_clusters": SQL_EMB_NEARDUP_CLUSTERS,
+    "tok_ngram_contamination": SQL_TOK_NGRAM_CONTAMINATION,
 }
 
 #: execution tier per query.  "production" = the declarative JVM-side

@@ -995,3 +995,81 @@ def test_funnel_and_changelog_plan_shapes(spark, docs, tmp_path):
     cplan = ch._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in cplan
     assert cplan.count("Exchange") == 1
+
+
+def test_image_audio_codecs_pure():
+    """Numpy-only codec edge cases (no Spark): PPM header comments, BMP
+    row padding across widths, bottom-up order, WAV chunk walking."""
+    import numpy as np
+
+    from scylla_cdc_rust_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+        decode_ppm,
+        decode_wav,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+        nearest_resize,
+    )
+
+    rng = np.random.default_rng(7)
+    # BMP: widths 1..8 exercise every row-padding residue (w*3 mod 4)
+    for w in range(1, 9):
+        px = rng.integers(0, 256, size=(5, w, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_bmp(encode_bmp(px)), px)
+        np.testing.assert_array_equal(decode_ppm(encode_ppm(px)), px)
+    # PPM with comment lines in the header still decodes
+    px = rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    body = encode_ppm(px)
+    commented = b"P6\n# a comment\n4 3\n# more\n255\n" + body.split(b"255\n", 1)[1]
+    np.testing.assert_array_equal(decode_ppm(commented), px)
+    # magic sniffing + honest failure for compressed formats
+    np.testing.assert_array_equal(decode_image(encode_bmp(px)), px)
+    with pytest.raises(NotImplementedError, match="PIL|codec"):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    with pytest.raises(ValueError):
+        decode_image(b"GIF89a....")
+    # WAV round-trip + tolerance of an extra chunk between fmt and data
+    s = (rng.integers(-30000, 30000, size=64)).astype(np.int16)
+    wav = encode_wav(s, 22050)
+    dec, rate = decode_wav(wav)
+    assert rate == 22050 and dec.shape == (64, 1)
+    np.testing.assert_array_equal(dec[:, 0], s)
+    fmt_end = wav.index(b"data")
+    extra = wav[:fmt_end] + b"LIST" + (4).to_bytes(4, "little") + b"INFO" + wav[fmt_end:]
+    # RIFF size field is now stale, but the chunk walk must not care
+    dec2, rate2 = decode_wav(extra)
+    np.testing.assert_array_equal(dec2, dec)
+    # nearest_resize: identity at same size; exact floor mapping
+    np.testing.assert_array_equal(nearest_resize(px, 4, 3), px)
+    r = nearest_resize(px, 2, 2)
+    np.testing.assert_array_equal(r[0, 0], px[0, 0])
+    np.testing.assert_array_equal(r[1, 1], px[(1 * 3) // 2, (1 * 4) // 2])
+
+
+def test_token_ngram_contamination(spark):
+    """Decontamination over pre-tokenized sequences (the target-table
+    shape): token 3-gram overlap, short docs contribute nothing, both
+    hash families select the same sets on a collision-free corpus."""
+    from scylla_cdc_rust_spark.operators.decontam import (
+        token_ngram_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1, 2, 3, 4]), (2, [9, 9, 9]), (3, [1, 2]), (4, None)],
+        "doc_id long, tokens array<int>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [2, 3, 4, 5])], "doc_id long, tokens array<int>"
+    )
+    for impl in ("portable", "xxhash64"):
+        rows = {
+            r["doc_id"]: (r["n_ngrams"], r["n_contaminated"], r["contamination"])
+            for r in token_ngram_contamination(
+                corpus, bench, n=3, hash_impl=impl
+            ).collect()
+        }
+        # doc1 grams {(1,2,3),(2,3,4)} ∩ bench {(2,3,4),(3,4,5)} = 1;
+        # doc2 has no overlap, doc3 too short, doc4 null → absent
+        assert rows == {1: (2, 1, 0.5)}, (impl, rows)
