@@ -1073,3 +1073,35 @@ def test_token_ngram_contamination(spark):
         # doc1 grams {(1,2,3),(2,3,4)} ∩ bench {(2,3,4),(3,4,5)} = 1;
         # doc2 has no overlap, doc3 too short, doc4 null → absent
         assert rows == {1: (2, 1, 0.5)}, (impl, rows)
+
+
+def test_no_computed_array_in_filter_nodes(spark, docs):
+    """Pin the round-5 explode fix: Catalyst's InferFiltersFromGenerate
+    used to push a size>0 filter whose alias re-expansion rebuilt the
+    whole gram/shingle array inside the scan-stage Filter (serial on
+    single-file inputs, duplicated everywhere).  explode_nonnull must
+    keep higher-order array builds OUT of every Filter node — they may
+    appear only in Project/Generate."""
+    from scylla_cdc_rust_spark.operators.decontam import ngram_contamination
+    from scylla_cdc_rust_spark.operators.dedup_docs import (
+        minhash_signatures,
+        simhash_near_dups,
+    )
+    from scylla_cdc_rust_spark.operators.sampling import sample_hash
+
+    is_bench = sample_hash("doc_id", 16) == 0
+    frames = [
+        ngram_contamination(docs.where(~is_bench), docs.where(is_bench), n=3),
+        ngram_contamination(
+            docs.where(~is_bench), docs.where(is_bench), n=3,
+            hash_impl="xxhash64",
+        ),
+        minhash_signatures(docs),
+        simhash_near_dups(docs.where(F.col("doc_id") < 40)),
+    ]
+    for df in frames:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            stripped = line.lstrip(" +-*():0123456789")
+            if stripped.startswith("Filter") or stripped.startswith("PhotonFilter"):
+                assert "lambdafunction" not in line, line[:300]
