@@ -1876,6 +1876,71 @@ FROM matched m JOIN totals t USING (doc_id)
 """
 
 
+def q_video_frame_index(spark, sf_dir):
+    """Frame-sampling PLUMBING driver-gated (operators/multimodal.py
+    sample_frames): one synthetic video row per document with a
+    deterministic duration (id·97 % 40000 ms), expanded 1→N inside
+    mapInPandas to min(duration//1000 + 1, 32) frames at 1 s spacing.
+    The frame BYTES stay the documented deterministic fake (no video
+    demuxer exists numpy-only — the honesty boundary), but everything
+    the oracle checks is real plumbing: row expansion count, frame
+    indices, timestamps, and the 32-byte digest length."""
+    import pandas as pd
+
+    from scylla_cdc_rust_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids = [str(int(x)) for x in pdf["doc_id"]]
+            durs = [(int(x) * 97) % 40000 for x in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [d_.to_bytes(4, "big") for d_ in durs],
+                    "meta": [
+                        {
+                            "media_type": "video",
+                            "codec": "fake",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": dur,
+                            "n_bytes": 4,
+                        }
+                        for dur in durs
+                    ],
+                }
+            )
+
+    media = d.mapInPandas(gen, schema=MEDIA_SCHEMA)
+    f = sample_frames(media, every_ms=1000, max_frames=32)
+    return f.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.col("ts_ms").cast("bigint").alias("ts_ms"),
+        F.length("frame").cast("bigint").alias("frame_bytes"),
+    )
+
+
+SQL_VIDEO_FRAME_INDEX = """
+WITH d AS (
+  SELECT doc_id, (doc_id * 97) % 40000 AS dur FROM documents
+),
+f AS (
+  SELECT doc_id,
+         unnest(generate_series(0, least(dur // 1000 + 1, 32) - 1)) AS i
+  FROM d
+)
+SELECT doc_id, i AS frame_idx, i * 1000 AS ts_ms,
+       CAST(32 AS BIGINT) AS frame_bytes
+FROM f
+"""
+
+
 def q_emb_neardup_clusters(spark, sf_dir):
     """Embedding near-dup dedup, production shape end to end: hyperplane
     LSH bucketing (the emb_lsh_buckets stage) → exact cosine ≥ 0.99
@@ -2617,6 +2682,7 @@ QUERIES = {
     "audio_sample_stats": q_audio_sample_stats,
     "emb_neardup_clusters": q_emb_neardup_clusters,
     "tok_ngram_contamination": q_tok_ngram_contamination,
+    "video_frame_index": q_video_frame_index,
 }
 
 ORACLE_SQL = {
@@ -2668,6 +2734,7 @@ ORACLE_SQL = {
     "audio_sample_stats": SQL_AUDIO_SAMPLE_STATS,
     "emb_neardup_clusters": SQL_EMB_NEARDUP_CLUSTERS,
     "tok_ngram_contamination": SQL_TOK_NGRAM_CONTAMINATION,
+    "video_frame_index": SQL_VIDEO_FRAME_INDEX,
 }
 
 #: execution tier per query.  "production" = the declarative JVM-side
