@@ -86,3 +86,54 @@ def test_fold_matches_oracle_on_arbitrary_interleavings(spark, set_impl, ops):
         for k, v in oracle_replay(tbl, collection_modes={"tokens": "set"}).items()
     }
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_image_codec_roundtrip_property(w, h, seed):
+    """Any (h, w, 3) uint8 image survives PPM and BMP encode→decode
+    bit-for-bit (row padding, bottom-up order, BGR swap all on the
+    hook); nearest_resize output dims always match the request."""
+    import numpy as np
+
+    from scylla_cdc_rust_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+        nearest_resize,
+    )
+
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(px)), px)
+    np.testing.assert_array_equal(decode_bmp(encode_bmp(px)), px)
+    rw, rh = max(1, w // 2), max(1, h // 3)
+    assert nearest_resize(px, rw, rh).shape == (rh, rw, 3)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 500),
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_codec_roundtrip_property(n, rate, seed):
+    import numpy as np
+
+    from scylla_cdc_rust_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    s = np.random.default_rng(seed).integers(
+        -32768, 32768, size=n, dtype=np.int64
+    ).astype(np.int16)
+    dec, got_rate = decode_wav(encode_wav(s, rate))
+    assert got_rate == rate and dec.shape == (n, 1)
+    np.testing.assert_array_equal(dec[:, 0], s)
