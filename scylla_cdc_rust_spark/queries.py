@@ -1739,7 +1739,13 @@ def q_img_channel_stats(spark, sf_dir):
         synthetic_images,
     )
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    from scylla_cdc_rust_spark.session import ensure_min_parallelism
+
+    # codec work runs inside mapInPandas: fan a single-file scan out
+    # so encode/decode parallelizes (structural no-op at real scale)
+    d = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    )
     media = synthetic_images(d)
     f = extract_features(media, dim=6)
     e = lambda i: F.element_at("features", i).cast("bigint")  # noqa: E731
@@ -1785,7 +1791,13 @@ def q_img_resize_stats(spark, sf_dir):
         synthetic_images,
     )
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    from scylla_cdc_rust_spark.session import ensure_min_parallelism
+
+    # codec work runs inside mapInPandas: fan a single-file scan out
+    # so encode/decode parallelizes (structural no-op at real scale)
+    d = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    )
     media = synthetic_images(d)
     f = extract_features(resize_images(media, 5, 4), dim=6)
     e = lambda i: F.element_at("features", i).cast("bigint")  # noqa: E731
@@ -1892,7 +1904,13 @@ def q_video_frame_index(spark, sf_dir):
         sample_frames,
     )
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    from scylla_cdc_rust_spark.session import ensure_min_parallelism
+
+    # codec work runs inside mapInPandas: fan a single-file scan out
+    # so encode/decode parallelizes (structural no-op at real scale)
+    d = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    )
 
     def gen(batches):
         for pdf in batches:
@@ -2058,7 +2076,13 @@ def q_audio_sample_stats(spark, sf_dir):
         synthetic_wavs,
     )
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    from scylla_cdc_rust_spark.session import ensure_min_parallelism
+
+    # codec work runs inside mapInPandas: fan a single-file scan out
+    # so encode/decode parallelizes (structural no-op at real scale)
+    d = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    )
     f = extract_features(synthetic_wavs(d), dim=4)
     e = lambda i: F.element_at("features", i).cast("bigint")  # noqa: E731
     return f.select(
