@@ -83,3 +83,74 @@ def stratified_sample(
     """
     thresh = sample_threshold(rates, strata_col, default_rate)
     return df.where(sample_hash(id_col, hash_impl=hash_impl) < thresh)
+
+
+def mixture_thresholds(
+    counts: dict[str, int], weights: dict[str, int], mod: int = SAMPLE_MOD
+) -> dict[str, int]:
+    """Per-stratum integer keep-thresholds (out of ``mod``) realizing a
+    target mixture with maximum data retention.
+
+    ``weights``: stratum → integer mixture part (e.g. {"web": 6,
+    "books": 1} targets 6:1).  The largest total T whose mixture is
+    exact has every stratum feasible: T = min_s(c_s·W // w_s) with
+    W = Σw; stratum s then keeps t_s = T·w_s // W of its c_s docs, via
+    hash threshold mod·t_s // c_s.  INTEGER arithmetic throughout —
+    floor division only — so a SQL oracle reproduces the thresholds
+    bit-exactly (no float rounding to disagree on).  Strata present in
+    the corpus but absent from ``weights`` keep nothing (rate 0).
+    """
+    missing = [s for s in weights if weights[s] > 0 and counts.get(s, 0) == 0]
+    if missing:
+        raise ValueError(f"weighted strata absent from corpus: {missing}")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("mixture weights must be >= 0")
+    W = sum(weights.values())
+    if W <= 0:
+        raise ValueError("mixture weights must sum to > 0")
+    T = min(counts[s] * W // w for s, w in weights.items() if w > 0)
+    out = {}
+    for s, w in weights.items():
+        if w <= 0:
+            continue
+        t_s = T * w // W
+        out[s] = mod * t_s // counts[s]
+    return out
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, int],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    hash_impl: str = "portable",
+) -> DataFrame:
+    """Resample the corpus to a target domain mixture, deterministically.
+
+    The per-stratum counts feeding the threshold computation come from
+    one aggregate whose result is catalog-sized (one row per domain) —
+    the only driver-side data this operator ever collects.  The filter
+    itself is the same pure map-side hash threshold as
+    ``stratified_sample``: no shuffle, reproducible across engines,
+    and the Parquet scan keeps its pushed filters/pruning.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).count().collect()
+        if r[0] is not None
+    }
+    thresholds = mixture_thresholds(counts, weights)
+    # sample_threshold re-quantizes rate·MOD with round(); build the
+    # literal map from the exact integer thresholds instead so the
+    # floor-division arithmetic survives into the plan bit-exactly
+    pairs: list[Column] = []
+    for s, t in sorted(thresholds.items()):
+        pairs.append(F.lit(s))
+        pairs.append(F.lit(t))
+    thresh = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(strata_col))
+        if pairs
+        else F.lit(None),
+        F.lit(0),
+    )
+    return df.where(sample_hash(id_col, hash_impl=hash_impl) < thresh)

@@ -2654,6 +2654,157 @@ WHERE CASE WHEN a.doc_id IS NULL THEN 'INSERT'
 
 
 # ===========================================================================
+# Round-5 additions: context-window chunking, vocabulary stats, domain
+# mixture resampling — all over the input_hint token shape
+# ===========================================================================
+
+
+def _doc_tokens(spark, sf_dir):
+    """documents → (doc_id, tokens array<int>): the deterministic
+    text→token derivation shared by the tok_* queries (portable word
+    hash mod 32000 — replayed identically in every oracle)."""
+    from scylla_cdc_rust_spark.functions.text import word_hash
+
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.transform(
+            F.split("text", " "), lambda w: word_hash(w) % 32000
+        ).alias("tokens"),
+    )
+
+
+_SQL_DOC_TOKS = f"""
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        w -> ({_h_duck("w")}) % 32000) AS toks
+  FROM documents
+"""
+
+
+def q_tok_chunking(spark, sf_dir):
+    """Context-window chunking of pre-tokenized sequences
+    (operators/chunking.chunk_tokens): sliding windows of ≤32 tokens
+    advancing by 24 (overlapping — the usual no-span-without-context
+    recipe), one narrow projection + one generate, zero shuffle.
+    Chunk CONTENT is gated through an order-sensitive fold digest
+    (chunking.chunk_digest ≡ DuckDB list_reduce) because the driver
+    canon cannot hash raw array cells."""
+    from scylla_cdc_rust_spark.operators.chunking import (
+        chunk_digest,
+        chunk_tokens,
+    )
+
+    c = chunk_tokens(_doc_tokens(spark, sf_dir), max_len=32, stride=24)
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        "start_off",
+        "n_chunk_tok",
+        chunk_digest("chunk_tokens").alias("chunk_digest"),
+    )
+
+
+SQL_TOK_CHUNKING = f"""
+WITH d AS ({_SQL_DOC_TOKS}),
+n AS (
+  SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0
+),
+c AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, CASE WHEN n <= 32 THEN 1
+                              ELSE (n - 32 + 23) // 24 + 1 END)) AS i
+  FROM n
+)
+SELECT doc_id, i AS chunk_idx, i * 24 AS start_off,
+       len(list_slice(toks, i * 24 + 1, least(i * 24 + 32, n)))
+         AS n_chunk_tok,
+       list_reduce(list_slice(toks, i * 24 + 1, least(i * 24 + 32, n)),
+                   (a, b) -> (a * 31 + b) % {M31}) AS chunk_digest
+FROM c
+"""
+
+
+def q_tok_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary statistics (operators/vocab.vocab_topk):
+    top-256 tokens by occurrence count with document frequencies.
+    Both aggregates partial map-side (the exchange carries ≤|vocab|
+    rows per task, never the token stream); the cut is
+    TakeOrderedAndProject under a total (count desc, token asc)
+    order, so it is deterministic and oracle-checkable."""
+    from scylla_cdc_rust_spark.operators.vocab import vocab_topk
+
+    return vocab_topk(_doc_tokens(spark, sf_dir), k=256)
+
+
+SQL_TOK_VOCAB_TOPK = f"""
+WITH d AS ({_SQL_DOC_TOKS}),
+t AS (
+  SELECT doc_id, unnest(toks) AS token FROM d
+),
+occ AS (
+  SELECT token, count(*) AS n_occurrences FROM t GROUP BY token
+),
+docs AS (
+  SELECT token, count(*) AS n_docs
+  FROM (SELECT DISTINCT doc_id, token FROM t) GROUP BY token
+),
+r AS (
+  SELECT row_number() OVER (ORDER BY n_occurrences DESC, token ASC)
+           AS rank,
+         token, n_occurrences, n_docs
+  FROM occ JOIN docs USING (token)
+)
+SELECT rank, token, n_occurrences, n_docs FROM r WHERE rank <= 256
+"""
+
+
+#: target mixture for the driver query: 5:3:2:1:1 over five domains,
+#: the other fifteen dropped (weight 0) — exercises both the retention
+#: maximization and the unlisted-stratum drop path
+_MIX_WEIGHTS = {"src0": 5, "src1": 3, "src2": 2, "src3": 1, "src4": 1}
+
+
+def q_doc_mixture_sample(spark, sf_dir):
+    """Domain-mixture resampling (operators/sampling.mixture_sample):
+    resample the corpus to a 5:3:2:1:1 mixture over five sources with
+    maximum retention.  Thresholds are derived from one catalog-sized
+    count aggregate in pure INTEGER floor-division arithmetic (so the
+    oracle reproduces them bit-exactly); the filter itself is the same
+    zero-shuffle map-side hash threshold as stratified sampling."""
+    from scylla_cdc_rust_spark.operators.sampling import mixture_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_sample(d, _MIX_WEIGHTS, strata_col="source").select(
+        "doc_id", "source"
+    )
+
+
+_MIX_W_SQL = " UNION ALL ".join(
+    f"SELECT '{s}' AS source, {w} AS wt" for s, w in sorted(_MIX_WEIGHTS.items())
+)
+
+SQL_DOC_MIXTURE_SAMPLE = f"""
+WITH w AS ({_MIX_W_SQL}),
+counts AS (
+  SELECT source, count(*) AS c FROM documents GROUP BY source
+),
+tot AS (SELECT sum(wt) AS tw FROM w),
+cap AS (
+  SELECT min((c * tw) // wt) AS t
+  FROM counts JOIN w USING (source) CROSS JOIN tot
+),
+th AS (
+  SELECT w.source,
+         (1000000 * ((cap.t * w.wt) // tot.tw)) // counts.c AS thresh
+  FROM w JOIN counts USING (source) CROSS JOIN cap CROSS JOIN tot
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN th ON d.source = th.source
+WHERE ({_h_duck("CAST(d.doc_id AS VARCHAR)")}) % 1000000 < th.thresh
+"""
+
+
+# ===========================================================================
 # Registry
 # ===========================================================================
 
@@ -2707,6 +2858,9 @@ QUERIES = {
     "emb_neardup_clusters": q_emb_neardup_clusters,
     "tok_ngram_contamination": q_tok_ngram_contamination,
     "video_frame_index": q_video_frame_index,
+    "tok_chunking": q_tok_chunking,
+    "tok_vocab_topk": q_tok_vocab_topk,
+    "doc_mixture_sample": q_doc_mixture_sample,
 }
 
 ORACLE_SQL = {
@@ -2759,6 +2913,9 @@ ORACLE_SQL = {
     "emb_neardup_clusters": SQL_EMB_NEARDUP_CLUSTERS,
     "tok_ngram_contamination": SQL_TOK_NGRAM_CONTAMINATION,
     "video_frame_index": SQL_VIDEO_FRAME_INDEX,
+    "tok_chunking": SQL_TOK_CHUNKING,
+    "tok_vocab_topk": SQL_TOK_VOCAB_TOPK,
+    "doc_mixture_sample": SQL_DOC_MIXTURE_SAMPLE,
 }
 
 #: execution tier per query.  "production" = the declarative JVM-side
