@@ -201,3 +201,83 @@ def token_ngram_contamination(
         lambda _df: token_ngram_hashes(tokens_col, n, hash_impl),
         id_col,
     )
+
+
+def contamination_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    hash_impl: str = "portable",
+) -> DataFrame:
+    """Token-SPAN contamination: merge a document's contaminated n-grams
+    into maximal covered token intervals.
+
+    Flagging a document is enough to drop it; EXCISING benchmark
+    leakage (the cheaper remedy for long documents with one bad
+    paragraph) needs the actual spans.  A gram at position i covers
+    tokens [i, i+n); two hits whose positions differ by ≤ n-1 overlap
+    in token space and merge into one span.
+
+    Returns one row per contaminated document: (id, n_spans,
+    max_span_tok, covered_tok) — span count, longest span's token
+    length, and total tokens covered by any span.
+
+    Scale shape: the gram stream stays map-side into the broadcast
+    probe exactly as ``token_ngram_contamination``; only HIT positions
+    (bounded by matched grams, typically ≪ corpus grams) reach the one
+    exchange, where per-document windows (lag → island id → bounds)
+    run inside each hash partition.  The window partitions by document
+    — no global sort, no skew beyond a document's own hit count.
+    """
+    from pyspark.sql.window import Window
+
+    from scylla_cdc_rust_spark.session import ensure_min_parallelism
+
+    bench = (
+        benchmark.select(
+            F.explode_outer(
+                token_ngram_hashes(tokens_col, n, hash_impl)
+            ).alias("h")
+        )
+        .where(F.col("h").isNotNull())
+        .distinct()
+    )
+    corpus = ensure_min_parallelism(corpus)
+    # posexplode keeps the gram's token position — the span coordinate
+    hits = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.posexplode_outer(
+                token_ngram_hashes(tokens_col, n, hash_impl)
+            ).alias("pos", "h"),
+        )
+        .where(F.col("h").isNotNull())
+        .join(F.broadcast(bench), "h")
+        .select("id", "pos")
+        .distinct()
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    # island id: a hit starts a new span only when its gram's token
+    # interval neither overlaps NOR touches the previous hit's (a
+    # position gap > n) — touching intervals union into one maximal
+    # covered interval, so contiguous coverage is always ONE span
+    new_span = F.when(
+        F.col("pos") - F.lag("pos").over(w) > F.lit(n), 1
+    ).otherwise(0)
+    islands = hits.select(
+        "id",
+        "pos",
+        F.sum(new_span).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("span_id"),
+    )
+    spans = islands.groupBy("id", "span_id").agg(
+        F.min("pos").alias("s"), (F.max("pos") + F.lit(n)).alias("e")
+    )
+    return spans.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.max(F.col("e") - F.col("s")).cast("long").alias("max_span_tok"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("covered_tok"),
+    ).select(F.col("id").alias(id_col), "n_spans", "max_span_tok", "covered_tok")

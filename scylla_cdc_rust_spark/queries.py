@@ -1989,13 +1989,18 @@ def q_emb_neardup_clusters(spark, sf_dir):
             for d in range(0, 64, 4)
         )
         terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END)")
+    # norms are precomputed ONCE per vector (identical float expression
+    # to an inline per-pair norm, so the oracle's arithmetic is
+    # unchanged); the per-pair work is then just the dot product —
+    # 3x less interpreted-lambda math in the candidate stage
     b = allv.select(
-        "vec_id", "v", F.expr("CAST(" + " + ".join(terms) + " AS INTEGER)").alias("bucket")
+        "vec_id",
+        "v",
+        F.expr("CAST(" + " + ".join(terms) + " AS INTEGER)").alias("bucket"),
+        F.sqrt(F.expr("aggregate(v, 0D, (a, p) -> a + p * p)")).alias("norm"),
     )
     x, y = b.alias("x"), b.alias("y")
     dot = F.expr("aggregate(zip_with(xv, yv, (p, q) -> p * q), 0D, (a, p) -> a + p)")
-    nx = F.sqrt(F.expr("aggregate(xv, 0D, (a, p) -> a + p * p)"))
-    ny = F.sqrt(F.expr("aggregate(yv, 0D, (a, p) -> a + p * p)"))
     pairs = (
         x.join(
             y,
@@ -2007,8 +2012,9 @@ def q_emb_neardup_clusters(spark, sf_dir):
             F.col("y.vec_id").alias("d2"),
             F.col("x.v").alias("xv"),
             F.col("y.v").alias("yv"),
+            (F.col("x.norm") * F.col("y.norm")).alias("nn"),
         )
-        .where(F.round(dot / (nx * ny), 4) >= 0.99)
+        .where(F.round(dot / F.col("nn"), 4) >= 0.99)
         .select("d1", "d2")
     )
     cl = dedup_clusters(pairs)
@@ -2804,6 +2810,64 @@ WHERE ({_h_duck("CAST(d.doc_id AS VARCHAR)")}) % 1000000 < th.thresh
 """
 
 
+def q_tok_contamination_spans(spark, sf_dir):
+    """Token-SPAN decontamination (operators/decontam.
+    contamination_spans): contaminated 3-grams merged into maximal
+    covered token intervals per document — the excision shape (cut the
+    leaked paragraph, keep the document), not just the flag.  Same
+    broadcast-probe skeleton as tok_ngram_contamination; only hit
+    POSITIONS reach the single exchange, where per-document lag/island
+    windows resolve span bounds."""
+    from scylla_cdc_rust_spark.operators.decontam import (
+        contamination_spans,
+    )
+    from scylla_cdc_rust_spark.operators.sampling import sample_hash
+
+    d = _doc_tokens(spark, sf_dir)
+    is_bench = sample_hash("doc_id", 16) == 0
+    return contamination_spans(
+        corpus=d.where(~is_bench), benchmark=d.where(is_bench), n=3
+    )
+
+
+SQL_TOK_CONTAMINATION_SPANS = f"""
+WITH tagged AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        w -> ({_h_duck("w")}) % 32000) AS toks,
+         {_h_duck("CAST(doc_id AS VARCHAR)")} % 16 = 0 AS is_bench
+  FROM documents
+), grams AS (
+  SELECT doc_id, is_bench, i - 1 AS pos,
+         ((toks[i] * 31 + toks[i + 1]) % {M31} * 31 + toks[i + 2]) % {M31} AS h
+  FROM tagged, UNNEST(range(1, greatest(len(toks) - 3, 0) + 2)) AS t(i)
+  WHERE len(toks) >= 3
+), bench AS (
+  SELECT DISTINCT h FROM grams WHERE is_bench
+), hits AS (
+  SELECT DISTINCT g.doc_id, g.pos
+  FROM grams g JOIN bench USING (h) WHERE NOT g.is_bench
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > 3 THEN 1 ELSE 0 END AS new_span
+  FROM hits
+), isl AS (
+  SELECT doc_id, pos,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM flagged
+), spans AS (
+  SELECT doc_id, span_id, min(pos) AS s, max(pos) + 3 AS e
+  FROM isl GROUP BY doc_id, span_id
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(max(e - s) AS BIGINT) AS max_span_tok,
+       CAST(sum(e - s) AS BIGINT) AS covered_tok
+FROM spans GROUP BY doc_id
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2861,6 +2925,7 @@ QUERIES = {
     "tok_chunking": q_tok_chunking,
     "tok_vocab_topk": q_tok_vocab_topk,
     "doc_mixture_sample": q_doc_mixture_sample,
+    "tok_contamination_spans": q_tok_contamination_spans,
 }
 
 ORACLE_SQL = {
@@ -2916,6 +2981,7 @@ ORACLE_SQL = {
     "tok_chunking": SQL_TOK_CHUNKING,
     "tok_vocab_topk": SQL_TOK_VOCAB_TOPK,
     "doc_mixture_sample": SQL_DOC_MIXTURE_SAMPLE,
+    "tok_contamination_spans": SQL_TOK_CONTAMINATION_SPANS,
 }
 
 #: execution tier per query.  "production" = the declarative JVM-side

@@ -1229,3 +1229,29 @@ def test_mixture_sample_achieves_mixture(spark, docs):
         r.doc_id for r in again.select("doc_id").collect()
     )
     assert counts.get("src0", 0) > counts.get("src1", 0)
+
+
+def test_contamination_spans_merge_and_bounds(spark):
+    from scylla_cdc_rust_spark.operators.decontam import contamination_spans
+
+    # benchmark contributes grams (1,2,3) and (7,8,9); the separator 99
+    # never appears in the corpus, so its boundary grams cannot hit
+    bench = _tok_df(spark, [("b", [1, 2, 3, 99, 7, 8, 9])])
+    corpus = _tok_df(
+        spark,
+        [
+            # hits at pos 2 (1,2,3) and pos 5 (7,8,9): token intervals
+            # [2,5) and [5,8) TOUCH (gap == n) -> ONE span over [2,8)
+            ("x", [9, 9, 1, 2, 3, 7, 8, 9]),
+            # two far-apart hits -> two spans of 3 tokens each
+            ("y", [1, 2, 3] + [0] * 10 + [7, 8, 9]),
+            # no hits -> absent from output
+            ("z", [4, 5, 6]),
+        ],
+    )
+    rows = {r.doc_id: r for r in contamination_spans(corpus, bench, n=3).collect()}
+    assert set(rows) == {"x", "y"}
+    x = rows["x"]
+    assert (x.n_spans, x.max_span_tok, x.covered_tok) == (1, 6, 6)
+    y = rows["y"]
+    assert (y.n_spans, y.max_span_tok, y.covered_tok) == (2, 3, 6)
