@@ -258,6 +258,18 @@ def contamination_spans(
         .select("id", "pos")
         .distinct()
     )
+    return _hits_to_spans(hits, n, id_col)
+
+
+def _hits_to_spans(hits: DataFrame, n: int, id_col: str) -> DataFrame:
+    """Merge per-document gram-hit positions ``(id, pos)`` into maximal
+    covered token intervals and aggregate per-document span stats.
+
+    Shared tail of ``contamination_spans`` / ``duplicate_spans``: the
+    window partitions by document — no global sort, no skew beyond a
+    document's own hit count."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("id").orderBy("pos")
     # island id: a hit starts a new span only when its gram's token
     # interval neither overlaps NOR touches the previous hit's (a
@@ -281,3 +293,72 @@ def contamination_spans(
         F.max(F.col("e") - F.col("s")).cast("long").alias("max_span_tok"),
         F.sum(F.col("e") - F.col("s")).cast("long").alias("covered_tok"),
     ).select(F.col("id").alias(id_col), "n_spans", "max_span_tok", "covered_tok")
+
+
+def duplicate_spans(
+    corpus: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    hash_impl: str = "portable",
+) -> DataFrame:
+    """Cross-document duplicate token SPANS — the window-granularity
+    analog of exact-substring training-data dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    n-token window that occurs verbatim in ≥2 distinct documents is a
+    duplicated window, and a document's duplicated windows merge into
+    maximal covered intervals — the spans an excision pass would cut
+    while keeping the unique remainder of the document.
+
+    Returns one row per affected document: (id, n_spans, max_span_tok,
+    covered_tok) — same shape as ``contamination_spans``.
+
+    Scale shape — unlike decontamination there is no small side to
+    broadcast (the corpus probes ITSELF), so one full gram-keyed
+    exchange is unavoidable; everything else is arranged so that
+    exchange happens exactly once over exactly one corpus scan:
+
+    - the gram stream (id, pos, h) is built once in one projection
+      (posexplode_outer — no inferred-filter double eval, see
+      functions/generate_util.py);
+    - "occurs in ≥2 distinct documents" is ``min(id) != max(id)`` over
+      each gram's occurrences, computed as WINDOW functions partitioned
+      by h — never a count(distinct) expansion, and crucially never the
+      groupBy+self-join topology, whose two consumers of the gram
+      stream each shuffle (and under column pruning each rebuild) their
+      own copy — 2 scans + 2 wide exchanges measured vs 1 + 1 here
+      (pinned by tests/test_training_ops.py's plan-shape test);
+    - gram groups are tiny (a hash's occurrence list), so the window's
+      per-group buffering is bounded; the local sort on h is per
+      shuffle partition, never global;
+    - (id, pos) is unique by construction (one gram per position), so
+      the hit stream needs no distinct — only duplicated-window HIT
+      positions reach the per-document span windows of
+      ``_hits_to_spans``.
+
+    Reference analog: none (scylla-cdc-rust has no corpus operators);
+    this extends the training-data surface mandated by the round brief.
+    """
+    from pyspark.sql.window import Window
+
+    from scylla_cdc_rust_spark.session import ensure_min_parallelism
+
+    corpus = ensure_min_parallelism(corpus)
+    grams = corpus.select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(
+            token_ngram_hashes(tokens_col, n, hash_impl)
+        ).alias("pos", "h"),
+    ).where(F.col("h").isNotNull())
+    w = Window.partitionBy("h")
+    hits = (
+        grams.select(
+            "id",
+            "pos",
+            F.min("id").over(w).alias("lo_id"),
+            F.max("id").over(w).alias("hi_id"),
+        )
+        .where(F.col("lo_id") != F.col("hi_id"))
+        .select("id", "pos")
+    )
+    return _hits_to_spans(hits, n, id_col)

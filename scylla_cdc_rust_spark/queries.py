@@ -2868,6 +2868,52 @@ FROM spans GROUP BY doc_id
 """
 
 
+def q_tok_dup_spans(spark, sf_dir):
+    """Cross-document duplicate token spans (operators/decontam.
+    duplicate_spans): every 5-token window occurring verbatim in ≥2
+    distinct documents, merged into maximal covered intervals per
+    document — the window-granularity exact-substring dedup of Lee et
+    al. 2021.  Corpus probes itself, so the ≥2-docs test runs as window
+    min/max over ONE gram-keyed exchange and one corpus scan (no
+    groupBy+self-join; plan shape pinned in tests)."""
+    from scylla_cdc_rust_spark.operators.decontam import duplicate_spans
+
+    return duplicate_spans(_doc_tokens(spark, sf_dir), n=5)
+
+
+SQL_TOK_DUP_SPANS = f"""
+WITH t AS ({_SQL_DOC_TOKS}
+), grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         list_reduce(toks[i : i + 4],
+                     (a, b) -> (a * 31 + b) % {M31}) AS h
+  FROM t, UNNEST(range(1, greatest(len(toks) - 5, 0) + 2)) AS r(i)
+  WHERE len(toks) >= 5
+), dup AS (
+  SELECT h FROM grams GROUP BY h HAVING min(doc_id) <> max(doc_id)
+), hits AS (
+  SELECT DISTINCT g.doc_id, g.pos FROM grams g JOIN dup USING (h)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > 5 THEN 1 ELSE 0 END AS new_span
+  FROM hits
+), isl AS (
+  SELECT doc_id, pos,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM flagged
+), spans AS (
+  SELECT doc_id, span_id, min(pos) AS s, max(pos) + 5 AS e
+  FROM isl GROUP BY doc_id, span_id
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(max(e - s) AS BIGINT) AS max_span_tok,
+       CAST(sum(e - s) AS BIGINT) AS covered_tok
+FROM spans GROUP BY doc_id
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2926,6 +2972,7 @@ QUERIES = {
     "tok_vocab_topk": q_tok_vocab_topk,
     "doc_mixture_sample": q_doc_mixture_sample,
     "tok_contamination_spans": q_tok_contamination_spans,
+    "tok_dup_spans": q_tok_dup_spans,
 }
 
 ORACLE_SQL = {
@@ -2982,6 +3029,7 @@ ORACLE_SQL = {
     "tok_vocab_topk": SQL_TOK_VOCAB_TOPK,
     "doc_mixture_sample": SQL_DOC_MIXTURE_SAMPLE,
     "tok_contamination_spans": SQL_TOK_CONTAMINATION_SPANS,
+    "tok_dup_spans": SQL_TOK_DUP_SPANS,
 }
 
 #: execution tier per query.  "production" = the declarative JVM-side

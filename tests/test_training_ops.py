@@ -1255,3 +1255,66 @@ def test_contamination_spans_merge_and_bounds(spark):
     assert (x.n_spans, x.max_span_tok, x.covered_tok) == (1, 6, 6)
     y = rows["y"]
     assert (y.n_spans, y.max_span_tok, y.covered_tok) == (2, 3, 6)
+
+
+def test_duplicate_spans_semantics(spark):
+    from scylla_cdc_rust_spark.operators.decontam import duplicate_spans
+
+    corpus = _tok_df(
+        spark,
+        [
+            # a and b share the 5-token run (1,2,3,4,5) -> grams at a:pos0,
+            # b:pos2; each covers 5 tokens in its own document
+            ("a", [1, 2, 3, 4, 5, 50, 51, 52]),
+            ("b", [40, 41, 1, 2, 3, 4, 5]),
+            # c and d share TWO runs far apart -> two spans for c
+            ("c", [6, 7, 8, 9, 10] + [0] * 10 + [11, 12, 13, 14, 15]),
+            ("d", [6, 7, 8, 9, 10]),
+            ("e", [11, 12, 13, 14, 15]),
+            # f repeats a run only WITHIN itself -> cross-doc test excludes it
+            ("f", [20, 21, 22, 23, 24, 99, 20, 21, 22, 23, 24]),
+            # g is unique -> absent
+            ("g", [30, 31, 32, 33, 34, 35]),
+        ],
+    )
+    rows = {r.doc_id: r for r in duplicate_spans(corpus, n=5).collect()}
+    assert set(rows) == {"a", "b", "c", "d", "e"}
+    assert (rows["a"].n_spans, rows["a"].covered_tok) == (1, 5)
+    assert (rows["b"].n_spans, rows["b"].covered_tok) == (1, 5)
+    assert (rows["c"].n_spans, rows["c"].max_span_tok, rows["c"].covered_tok) == (
+        2, 5, 10,
+    )
+    # zero-token-gap adjacency merges: x and y share a 6-token run ->
+    # two overlapping gram hits (pos 0, 1) union into ONE 6-token span
+    corpus2 = _tok_df(
+        spark,
+        [("x", [1, 2, 3, 4, 5, 6]), ("y", [1, 2, 3, 4, 5, 6, 70])],
+    )
+    rows2 = {r.doc_id: r for r in duplicate_spans(corpus2, n=5).collect()}
+    assert (rows2["x"].n_spans, rows2["x"].max_span_tok) == (1, 6)
+
+
+def test_duplicate_spans_shares_one_gram_shuffle(spark, tmp_path):
+    """The gram stream must cross the wire ONCE and the corpus be scanned
+    ONCE: the ≥2-docs test runs as window min/max over Exchange(h), not
+    as the groupBy+self-join topology whose two gram-stream consumers
+    each rescan and reshuffle their own copy (2 scans + 2 wide
+    exchanges measured before the rewrite)."""
+    import re
+
+    from scylla_cdc_rust_spark.operators.decontam import duplicate_spans
+
+    _tok_df(
+        spark, [(str(i), [i % 7, 2, 3, 4, 5, i]) for i in range(64)]
+    ).write.parquet(str(tmp_path / "corpus"))
+    out = duplicate_spans(spark.read.parquet(str(tmp_path / "corpus")), n=5)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # AQE's toString appends the pre-execution plan after the final one
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("FileScan") == 1, plan
+    assert len(re.findall(r"Generate posexplode", plan)) == 1, plan
+    # gram exchange (h) + span window exchange (id) and nothing else
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+    assert "Join" not in plan, plan
