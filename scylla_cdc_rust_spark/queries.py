@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from scylla_cdc_rust_spark.model import ORD_BASE_MS
+
 M31 = 1_000_000_007
 
 # ---------------------------------------------------------------------------
@@ -2914,6 +2916,89 @@ FROM spans GROUP BY doc_id
 """
 
 
+def q_engine_replay_lineage(spark, sf_dir):
+    """North-rule lineage surface, end to end: run the REAL windowed
+    pipeline (plans/pipeline.replay: decode → exactly-once filter →
+    fold → bucketed merge → per-stream checkpoint commit) over a
+    CDC-shaped log written to a scratch dir, then return the
+    WatermarkStore's final per-stream lineage counters — stream id,
+    generation, committed window end, last batch id, events applied.
+    The oracle reproduces the window math in closed form (4 aligned
+    windows over [min, max+1); a stream's batch id is its last event's
+    window slot), so a drift in batching, watermark advancement, or the
+    applied-count bookkeeping hash-mismatches.
+
+    Reference analog: per-stream progress rows persisted by the saver
+    (checkpoints.rs:146-187) and asserted by the replication tests'
+    resume scenarios."""
+    import os
+    import shutil
+    import tempfile
+
+    from scylla_cdc_rust_spark import model as M
+    from scylla_cdc_rust_spark.config import CDCPipelineConfig
+    from scylla_cdc_rust_spark.plans.pipeline import replay
+    from scylla_cdc_rust_spark.sources.checkpoints import (
+        GENERATION_SENTINEL,
+        WatermarkStore,
+    )
+
+    log = _cdc_shaped_log(spark, sf_dir)
+    b = log.agg(
+        F.min(F.col(M.TIME_MS)).alias("lo"), F.max(F.col(M.TIME_MS)).alias("hi")
+    ).collect()[0]
+    lo, hi = int(b["lo"]), int(b["hi"]) + 1
+    win = (hi - lo + 3) // 4  # exactly 4 aligned window slots
+    d = tempfile.mkdtemp(prefix="lineage_q_")
+    try:
+        log.write.parquet(os.path.join(d, "log"))
+        cfg = CDCPipelineConfig(
+            log_path=os.path.join(d, "log"),
+            target_path=os.path.join(d, "target"),
+            watermark_path=os.path.join(d, "wm"),
+            window_size_ms=win,
+            target_num_buckets=8,
+            collection_modes={"tokens": "list"},
+        )
+        replay(spark, cfg)
+        snap = WatermarkStore(spark, cfg.watermark_path).load()
+        rows = sorted(
+            (
+                # stream_id is cast(sha2-hex as binary) = utf-8 of the hex
+                bytes(r["stream_id"]).decode("utf-8"),
+                int(r["generation"]),
+                int(r["time_ms"]),
+                int(r["batch_id"]),
+                int(r["n_applied"]),
+            )
+            for r in snap.collect()
+            if bytes(r["stream_id"]) != GENERATION_SENTINEL
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "sid_hex string, generation long, time_ms long, batch_id long, n_applied long"
+    )
+
+
+SQL_ENGINE_REPLAY_LINEAGE = (
+    _log_cte()
+    + f"""
+, t AS (SELECT sid, ord + {ORD_BASE_MS} AS tm FROM log),
+b AS (SELECT min(tm) AS lo, max(tm) + 1 AS hi FROM t),
+w AS (SELECT lo, hi, (hi - lo + 3) // 4 AS win FROM b),
+per AS (SELECT sid, count(*) AS n_applied, max(tm) AS last_t FROM t GROUP BY sid)
+SELECT sha256(CAST(p.sid AS VARCHAR)) AS sid_hex,
+       CAST(0 AS BIGINT) AS generation,
+       CAST(least(w.lo + ((p.last_t - w.lo) // w.win + 1) * w.win, w.hi)
+            AS BIGINT) AS time_ms,
+       CAST((p.last_t - w.lo) // w.win AS BIGINT) AS batch_id,
+       CAST(p.n_applied AS BIGINT) AS n_applied
+FROM per p, w
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2973,6 +3058,7 @@ QUERIES = {
     "doc_mixture_sample": q_doc_mixture_sample,
     "tok_contamination_spans": q_tok_contamination_spans,
     "tok_dup_spans": q_tok_dup_spans,
+    "engine_replay_lineage": q_engine_replay_lineage,
 }
 
 ORACLE_SQL = {
@@ -3030,6 +3116,7 @@ ORACLE_SQL = {
     "doc_mixture_sample": SQL_DOC_MIXTURE_SAMPLE,
     "tok_contamination_spans": SQL_TOK_CONTAMINATION_SPANS,
     "tok_dup_spans": SQL_TOK_DUP_SPANS,
+    "engine_replay_lineage": SQL_ENGINE_REPLAY_LINEAGE,
 }
 
 #: execution tier per query.  "production" = the declarative JVM-side
