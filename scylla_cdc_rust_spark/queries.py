@@ -2999,6 +2999,110 @@ FROM per p, w
 )
 
 
+def q_engine_schema_evolution(spark, sf_dir):
+    """Schema evolution driver gate (north rule M6 / SURVEY A13), end to
+    end: split the CDC-shaped log at its midpoint into two generations,
+    give generation 1 an ADDED column (``lang``) and a WIDENED
+    ``n_tok`` (int → bigint), replay both through the real pipeline
+    (generation barrier → fold → evolving bucketed merge), and return
+    the final visible table.  The oracle computes the same final state
+    in SQL — epoch-0-only docs must surface NULL lang (metadata-only
+    column add), every doc must surface the widened bigint n_tok, and a
+    lang cell must die under a later row tombstone like any other cell.
+
+    Reference analog: CDCRowSchema re-derivation per query page
+    (stream_reader.rs:389-390, consumer.rs:82-151); the sink-side
+    evolution is ours (operators/schema_evolution.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from scylla_cdc_rust_spark import model as M
+    from scylla_cdc_rust_spark.config import CDCPipelineConfig
+    from scylla_cdc_rust_spark.operators.merge import ParquetMergeTable
+    from scylla_cdc_rust_spark.plans.pipeline import replay
+
+    log = _cdc_shaped_log(spark, sf_dir)
+    cut = int(
+        log.agg(
+            ((F.min(M.TIME_MS) + F.max(M.TIME_MS)) / 2).cast("long")
+        ).first()[0]
+    )
+    lang = F.concat(
+        F.lit("l"), (F.col("doc_id").cast("long") % 4).cast("string")
+    )
+    e0 = log.where(F.col(M.TIME_MS) <= cut)
+    e1 = (
+        log.where(F.col(M.TIME_MS) > cut)
+        .withColumn("n_tok", F.col("n_tok").cast("long"))
+        .withColumn("lang", lang)
+    )
+    d = tempfile.mkdtemp(prefix="schema_evo_q_")
+    try:
+        e0.write.parquet(os.path.join(d, "log", "epoch=0"))
+        e1.write.parquet(os.path.join(d, "log", "epoch=1"))
+        cfg = CDCPipelineConfig(
+            log_path=os.path.join(d, "log"),
+            target_path=os.path.join(d, "target"),
+            watermark_path=os.path.join(d, "wm"),
+            window_size_ms=1 << 60,  # one bulk window per generation
+            target_num_buckets=8,
+            collection_modes={"tokens": "list"},
+        )
+        replay(spark, cfg)
+        table = ParquetMergeTable(
+            spark, cfg.target_path, num_buckets=8
+        )
+        out = table.read_visible().select(
+            "doc_id",
+            _tokens_csv(),
+            F.col("n_tok").cast("long").alias("n_tok"),
+            "lang",
+            "source",
+        )
+        rows = out.collect()  # materialize before the tmpdir vanishes
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+SQL_ENGINE_SCHEMA_EVOLUTION = (
+    _log_cte()
+    + """
+, cutv AS (SELECT (min(ord) + max(ord)) // 2 AS cut FROM log),
+e AS (
+  SELECT doc_id, ord, base_op, tokens, n_tok, source,
+         CASE WHEN ord > cut
+              THEN 'l' || CAST(CAST(doc_id AS BIGINT) % 4 AS VARCHAR)
+         END AS lang
+  FROM log, cutv
+),
+per AS (
+  SELECT doc_id,
+         coalesce(max(CASE WHEN base_op IN (3,4) THEN ord END), -1) AS tomb,
+         max(CASE WHEN base_op IN (1,2) THEN ord END)               AS last_w,
+         arg_max(tokens, CASE WHEN base_op IN (1,2) THEN ord END)   AS tokens,
+         arg_max(n_tok,  CASE WHEN base_op IN (1,2) THEN ord END)   AS n_tok,
+         arg_max(source, CASE WHEN base_op IN (1,2) THEN ord END)   AS source
+  FROM e GROUP BY doc_id
+),
+lang_cell AS (
+  SELECT e.doc_id, arg_max(e.lang, e.ord) AS lang
+  FROM e JOIN per USING (doc_id)
+  WHERE e.base_op IN (1,2) AND e.lang IS NOT NULL AND e.ord > per.tomb
+  GROUP BY e.doc_id
+)
+SELECT p.doc_id,
+       array_to_string(p.tokens, ',') AS tokens,
+       CAST(p.n_tok AS BIGINT) AS n_tok,
+       l.lang AS lang,
+       p.source AS source
+FROM per p LEFT JOIN lang_cell l USING (doc_id)
+WHERE p.last_w > p.tomb
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -3059,6 +3163,7 @@ QUERIES = {
     "tok_contamination_spans": q_tok_contamination_spans,
     "tok_dup_spans": q_tok_dup_spans,
     "engine_replay_lineage": q_engine_replay_lineage,
+    "engine_schema_evolution": q_engine_schema_evolution,
 }
 
 ORACLE_SQL = {
@@ -3117,6 +3222,7 @@ ORACLE_SQL = {
     "tok_contamination_spans": SQL_TOK_CONTAMINATION_SPANS,
     "tok_dup_spans": SQL_TOK_DUP_SPANS,
     "engine_replay_lineage": SQL_ENGINE_REPLAY_LINEAGE,
+    "engine_schema_evolution": SQL_ENGINE_SCHEMA_EVOLUTION,
 }
 
 #: execution tier per query.  "production" = the declarative JVM-side
