@@ -6,6 +6,8 @@ import os
 import subprocess
 import sys
 
+from pyspark.sql import functions as F
+
 from scylla_cdc_rust_spark.datagen.gen_log import LogSpec, generate_log, write_log
 from scylla_cdc_rust_spark.datagen.oracle import oracle_replay
 
@@ -100,4 +102,51 @@ def test_example_clis_end_to_end(spark, tmp_path):
     assert_state_equal(
         normalize_engine(t.read_visible().collect()),
         oracle_replay(tbl, collection_modes={"tokens": "set"}),
+    )
+
+
+def test_token_curation_cli(spark, tmp_path):
+    tmp = str(tmp_path)
+    # dup1/dup2: identical 30-token docs -> fully covered by duplicate
+    # spans -> both dropped at --max-dup-frac 0.5.  contam shares its
+    # leading 3-gram with the benchmark -> dropped by decontamination.
+    # cleanN: disjoint token ranges, unique, survive to chunking.
+    rows = (
+        [("dup1", list(range(100, 130)), "web"),
+         ("dup2", list(range(100, 130)), "web"),
+         ("contam", [7, 8, 9] + list(range(500, 530)), "books")]
+        + [(f"clean{i}", list(range(1000 + 100 * i, 1040 + 100 * i)), "web")
+           for i in range(4)]
+    )
+    spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, source string"
+    ).write.parquet(os.path.join(tmp, "corpus"))
+    spark.createDataFrame(
+        [("b0", [7, 8, 9], "bench")],
+        "doc_id string, tokens array<int>, source string",
+    ).write.parquet(os.path.join(tmp, "bench"))
+
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "token_curation.py"),
+         "--corpus", os.path.join(tmp, "corpus"),
+         "--out", os.path.join(tmp, "out"),
+         "--bench-path", os.path.join(tmp, "bench"),
+         "--max-len", "16", "--stride", "8"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    funnel = json.load(open(os.path.join(tmp, "out", "manifest.json")))
+    assert funnel["input_docs"] == 7
+    assert funnel["after_dup_spans"] == 5  # both full duplicates dropped
+    assert funnel["after_decontam"] == 4  # benchmark overlap dropped
+    assert funnel["after_mixture"] == 4  # no --mixture: pass-through
+
+    chunks = spark.read.parquet(os.path.join(tmp, "out", "chunks"))
+    got_ids = {r["doc_id"] for r in chunks.select("doc_id").distinct().collect()}
+    assert got_ids == {f"clean{i}" for i in range(4)}
+    assert funnel["chunks"] == chunks.count()
+    # every chunk fits the context window; per-doc token coverage is exact
+    assert chunks.where(F.col("n_chunk_tok") > 16).count() == 0
+    assert funnel["chunk_tokens"] == sum(
+        r["n_chunk_tok"] for r in chunks.collect()
     )
