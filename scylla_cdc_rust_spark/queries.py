@@ -3103,6 +3103,101 @@ WHERE p.last_w > p.tomb
 )
 
 
+def q_engine_streaming_replay(spark, sf_dir):
+    """Structured Streaming driver gate (north star: "a Structured
+    Streaming micro-batch pipeline that tails the change log"), end to
+    end: write the CDC-shaped log as TWO generations of multi-file
+    parquet segments, tail them with the REAL streaming pipeline
+    (``readStream`` file source + ``maxFilesPerTrigger`` discovery →
+    foreachBatch frontier → windowed decode → exactly-once filter →
+    fold → bucketed MERGE → per-stream checkpoint, generation barrier
+    between epochs, Trigger.AvailableNow + safety-tail drain = the
+    reference's stop_at flush, stream_reader.rs:336-340), then return
+    the final visible target table.  The oracle is the closed-form LWW
+    final state — any drift in micro-batch discovery, window math,
+    watermark filtering, the epoch barrier, or the merge itself
+    hash-mismatches.
+
+    The synthetic segment files are NOT time-ordered (each file spans
+    the whole epoch), so the safety interval is set to the epoch span —
+    the same clock-disorder contract the reference's safety_interval
+    guards (stream_reader.rs:256-345); every window then applies at the
+    bounded run's drain, in order, through the identical apply path.
+
+    Reference analog: the end-to-end replication tests driving
+    CDCLogReader over a live log (replication_tests.rs:166-208)."""
+    import os
+    import shutil
+    import tempfile
+
+    from scylla_cdc_rust_spark import model as M
+    from scylla_cdc_rust_spark.config import CDCPipelineConfig
+    from scylla_cdc_rust_spark.operators.merge import ParquetMergeTable
+    from scylla_cdc_rust_spark.streaming.stream_pipeline import (
+        run_streaming_epochs,
+    )
+
+    log = _cdc_shaped_log(spark, sf_dir)
+    b = log.agg(
+        F.min(F.col(M.TIME_MS)).alias("lo"), F.max(F.col(M.TIME_MS)).alias("hi")
+    ).first()
+    lo, hi = int(b["lo"]), int(b["hi"])
+    cut = (lo + hi) // 2
+    span = hi + 1 - lo
+    d = tempfile.mkdtemp(prefix="streaming_q_")
+    try:
+        log.where(F.col(M.TIME_MS) <= cut).repartition(3).write.parquet(
+            os.path.join(d, "log", "epoch=0")
+        )
+        log.where(F.col(M.TIME_MS) > cut).repartition(3).write.parquet(
+            os.path.join(d, "log", "epoch=1")
+        )
+        cfg = CDCPipelineConfig(
+            log_path=os.path.join(d, "log"),
+            target_path=os.path.join(d, "target"),
+            watermark_path=os.path.join(d, "wm"),
+            checkpoint_location=os.path.join(d, "ckpt"),
+            window_size_ms=max(1, (span + 3) // 4),  # ≥2 windows per epoch
+            safety_interval_ms=span,  # files are time-disordered (above)
+            target_num_buckets=8,
+            max_files_per_trigger=2,  # ≥2 discovery triggers per epoch
+            collection_modes={"tokens": "list"},
+        )
+        run_streaming_epochs(spark, cfg)
+        out = ParquetMergeTable(
+            spark, cfg.target_path, num_buckets=8
+        ).read_visible().select(
+            "doc_id",
+            _tokens_csv(),
+            F.col("n_tok").cast("long").alias("n_tok"),
+            "source",
+        )
+        rows = out.collect()  # materialize before the tmpdir vanishes
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+# final state must equal the batch list-mode replay (streaming is a
+# different *schedule* over the same apply path, never different data)
+SQL_ENGINE_STREAMING_REPLAY = (
+    _log_cte()
+    + """
+SELECT doc_id,
+       CASE WHEN arg_max(tokens, CASE WHEN base_op IN (1,2) THEN ord END) IS NOT NULL
+            THEN array_to_string(
+                   arg_max(tokens, CASE WHEN base_op IN (1,2) THEN ord END), ',')
+       END AS tokens,
+       CAST(arg_max(n_tok, CASE WHEN base_op IN (1,2) THEN ord END) AS BIGINT) AS n_tok,
+       arg_max(source, CASE WHEN base_op IN (1,2) THEN ord END) AS source
+FROM log
+GROUP BY doc_id
+HAVING max(CASE WHEN base_op IN (1,2) THEN ord END)
+     > coalesce(max(CASE WHEN base_op IN (3,4) THEN ord END), -1)
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -3164,6 +3259,7 @@ QUERIES = {
     "tok_dup_spans": q_tok_dup_spans,
     "engine_replay_lineage": q_engine_replay_lineage,
     "engine_schema_evolution": q_engine_schema_evolution,
+    "engine_streaming_replay": q_engine_streaming_replay,
 }
 
 ORACLE_SQL = {
@@ -3223,6 +3319,7 @@ ORACLE_SQL = {
     "tok_dup_spans": SQL_TOK_DUP_SPANS,
     "engine_replay_lineage": SQL_ENGINE_REPLAY_LINEAGE,
     "engine_schema_evolution": SQL_ENGINE_SCHEMA_EVOLUTION,
+    "engine_streaming_replay": SQL_ENGINE_STREAMING_REPLAY,
 }
 
 #: execution tier per query.  "production" = the declarative JVM-side

@@ -61,6 +61,11 @@ class StreamingReplay:
         )
         self.frontier_ms: int | None = None  # max event time seen
         self.floor_ms: int | None = None  # next window begin
+        #: checkpoint-derived lower bound (None when starting fresh)
+        self.resume_floor_ms: int | None = None
+        #: highest window end actually APPLIED in this run — the only
+        #: boundary whose violation is a genuine contract break
+        self.applied_end_ms: int | None = None
         #: end of the skewed-resume catch-up span (max per-stream floor);
         #: windows below it are coalesced into one (see _apply_upto)
         self.catchup_end_ms: int | None = None
@@ -116,6 +121,7 @@ class StreamingReplay:
             ):
                 self.table.vacuum()  # drop superseded bucket dirs
         self.floor_ms = safe_end_ms
+        self.applied_end_ms = safe_end_ms
 
     def _on_batch(self, batch_df, _sid: int) -> None:
         r = batch_df.agg(
@@ -132,20 +138,42 @@ class StreamingReplay:
             # watermark wins — unapplied rows may sit below this batch.
             floors = self.wm.stream_floors()
             if floors:
-                self.floor_ms = min(floors.values())
+                self.floor_ms = self.resume_floor_ms = min(floors.values())
                 hi = max(floors.values())
                 if hi > self.floor_ms:
                     self.catchup_end_ms = hi
             else:
                 self.floor_ms = int(r["mn"])
         elif r["mn"] < self.floor_ms:
-            # a file older than the applied floor arrived beyond the
-            # safety interval — same contract violation the reference's
-            # clock-drift guard protects against; fail loudly
-            raise RuntimeError(
-                f"late data below applied floor: {r['mn']} < {self.floor_ms}; "
-                "increase safety_interval_ms or repair via batch replay"
-            )
+            # data below the current floor.  Three distinct cases:
+            if (
+                self.applied_end_ms is not None
+                and r["mn"] < self.applied_end_ms
+                and (
+                    self.resume_floor_ms is None
+                    or r["mn"] >= self.resume_floor_ms
+                )
+            ):
+                # (1) below a window end APPLIED IN THIS RUN (and not an
+                # already-checkpointed old segment): the fold committed
+                # without these rows — the contract violation the
+                # reference's clock-drift guard protects against
+                # (stream_reader.rs:256-345); fail loudly
+                raise RuntimeError(
+                    f"late data below applied window end: {r['mn']} < "
+                    f"{self.applied_end_ms}; increase safety_interval_ms "
+                    "or repair via batch replay"
+                )
+            if self.applied_end_ms is None and self.resume_floor_ms is None:
+                # (2) micro-batch DISCOVERY order is not time order and
+                # nothing has been applied yet — lower the provisional
+                # floor (it was only the first batch's min)
+                self.floor_ms = int(r["mn"])
+            # (3) else: a segment below the checkpoint floor rediscovered
+            # (e.g. the streaming checkpoint was lost but the engine's
+            # watermarks survived) — already applied; windows never
+            # rescan below the resume floor, same as the reference
+            # resuming from its saved progress row
         safe_end = self.frontier_ms - self.cfg.safety_interval_ms
         if self.cfg.end_timestamp_ms is not None:
             safe_end = min(safe_end, self.cfg.end_timestamp_ms)

@@ -218,3 +218,65 @@ def test_streaming_safety_interval_holds_back_tail(spark, tmp_path):
     r2 = StreamingReplay(spark, cfg, MODES)
     r2.run_available_now(drain=True)
     assert_state_equal(visible(spark, cfg), oracle_replay(tbl, collection_modes=MODES))
+
+
+def test_late_data_guard_three_cases(spark, tmp_path):
+    """The late-data guard distinguishes (stream_pipeline._on_batch):
+    (1) rows below a window end APPLIED THIS RUN → fail-fast (the fold
+    committed without them); (2) micro-batch discovery disorder before
+    any apply → the provisional floor lowers; (3) segments below the
+    checkpoint floor rediscovered after a lost streaming checkpoint →
+    ignored (already applied; windows never rescan below the resume
+    floor)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from scylla_cdc_rust_spark.model import TIME_MS
+
+    tbl = generate_log(LogSpec(n_events=2_000, n_docs=100, seed=7))
+
+    def batch_between(cfg, lo_incl, hi_excl):
+        return (
+            spark.read.parquet(cfg.log_path)
+            .where((F.col(TIME_MS) >= lo_incl) & (F.col(TIME_MS) < hi_excl))
+            .select(TIME_MS)
+        )
+
+    def bounds(cfg):
+        r = (
+            spark.read.parquet(cfg.log_path)
+            .agg(F.min(TIME_MS).alias("lo"), F.max(TIME_MS).alias("hi"))
+            .first()
+        )
+        return int(r["lo"]), int(r["hi"])
+
+    # (2) disorder before any apply: floor lowers, nothing raises
+    cfg2 = make_cfg(os.path.join(str(tmp_path), "c2"), tbl,
+                    safety_interval_ms=10**15)
+    lo, hi = bounds(cfg2)
+    mid = (lo + hi) // 2
+    sr = StreamingReplay(spark, cfg2, MODES)
+    sr._on_batch(batch_between(cfg2, mid, hi + 1), 0)
+    assert sr.floor_ms >= mid and sr.applied_end_ms is None
+    sr._on_batch(batch_between(cfg2, lo, mid), 1)
+    assert sr.floor_ms == lo  # provisional floor lowered, no error
+
+    # (1) below an applied window end: fail-fast
+    cfg1 = make_cfg(os.path.join(str(tmp_path), "c1"), tbl,
+                    safety_interval_ms=0, window_size_ms=10**15)
+    sr = StreamingReplay(spark, cfg1, MODES)
+    sr._on_batch(batch_between(cfg1, mid, hi + 1), 0)
+    assert sr.applied_end_ms is not None  # [mid, hi) applied
+    with pytest.raises(RuntimeError, match="late data below applied"):
+        sr._on_batch(batch_between(cfg1, lo, mid), 1)
+
+    # (3) below the checkpoint floor after a full replay: absorbed
+    cfg3 = make_cfg(os.path.join(str(tmp_path), "c3"), tbl,
+                    safety_interval_ms=0, window_size_ms=10**15)
+    StreamingReplay(spark, cfg3, MODES).run_available_now(drain=True)
+    cfg3.checkpoint_location = cfg3.checkpoint_location + "_2"
+    sr = StreamingReplay(spark, cfg3, MODES)
+    sr._on_batch(batch_between(cfg3, mid, hi + 1), 0)   # resume floor loads
+    assert sr.resume_floor_ms is not None
+    sr._on_batch(batch_between(cfg3, lo, mid), 1)  # old segment: no raise
+    assert sr.floor_ms >= sr.resume_floor_ms
