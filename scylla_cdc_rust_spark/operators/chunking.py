@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from scylla_cdc_rust_spark.functions.generate_util import explode_nonnull
+from scylla_cdc_rust_spark.functions.text import M31
 
 
 def chunk_counts(tokens: Column, max_len: int, stride: int) -> Column:
@@ -96,7 +97,7 @@ def chunk_tokens(
     )
 
 
-def chunk_digest(chunk_tokens: Column | str, mod: int = 1_000_000_007) -> Column:
+def chunk_digest(chunk_tokens: Column | str, mod: int = M31) -> Column:
     """Order-sensitive digest of a chunk: fold ``a = (a·31 + t) % mod``
     from 0 — for token ids < mod this equals DuckDB's
     ``list_reduce(l, (a,b) -> (a*31+b) % mod)`` (whose seed is the

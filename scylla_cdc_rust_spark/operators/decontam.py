@@ -82,11 +82,13 @@ def token_ngram_hashes(
     pre-hash, so the fold variant that lost the word A/B is the right
     shape here).
     """
+    from scylla_cdc_rust_spark.functions.text import M31
+
     ts = F.col(tokens) if isinstance(tokens, str) else tokens
     if hash_impl == "portable":
-        fold = lambda a, x: (a * 31 + x) % F.lit(  # noqa: E731
-            1_000_000_007
-        ).cast("long")
+        fold = lambda a, x: (a * 31 + x) % F.lit(M31).cast(  # noqa: E731
+            "long"
+        )
     elif hash_impl == "xxhash64":
         fold = lambda a, x: F.xxhash64(a, x)  # noqa: E731
     else:
@@ -231,19 +233,12 @@ def contamination_spans(
     run inside each hash partition.  The window partitions by document
     — no global sort, no skew beyond a document's own hit count.
     """
-    from pyspark.sql.window import Window
-
+    from scylla_cdc_rust_spark.functions.generate_util import explode_nonnull
     from scylla_cdc_rust_spark.session import ensure_min_parallelism
 
-    bench = (
-        benchmark.select(
-            F.explode_outer(
-                token_ngram_hashes(tokens_col, n, hash_impl)
-            ).alias("h")
-        )
-        .where(F.col("h").isNotNull())
-        .distinct()
-    )
+    bench = explode_nonnull(
+        benchmark, token_ngram_hashes(tokens_col, n, hash_impl), "h"
+    ).distinct()
     corpus = ensure_min_parallelism(corpus)
     # posexplode keeps the gram's token position — the span coordinate
     hits = (

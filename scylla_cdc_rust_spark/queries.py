@@ -1410,17 +1410,19 @@ def q_doc_lsh_candidates(spark, sf_dir):
     from scylla_cdc_rust_spark.operators.dedup_docs import (
         minhash_lsh_candidates,
         minhash_signatures,
-        release_guard_caches,
     )
     from scylla_cdc_rust_spark.session import ensure_min_parallelism
 
     d = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     sigs = minhash_signatures(d, num_hashes=8)
-    out = minhash_lsh_candidates(
+    # the hot-bucket guard cache stays registered until the returned
+    # (lazy) frame materializes — the next cap_buckets call or an
+    # explicit release_guard_caches() frees it (dedup_docs lifecycle);
+    # releasing HERE would unpersist before the action ever runs and
+    # the candidate self-join would recompute the signatures up to 4×
+    return minhash_lsh_candidates(
         sigs, num_hashes=8, bands=4, max_bucket_size=10_000
     )
-    release_guard_caches()
-    return out
 
 
 SQL_DOC_LSH_CANDIDATES = f"""
@@ -1445,6 +1447,10 @@ def q_doc_dedup_clusters_lsh(spark, sf_dir):
     )
 
     pairs = q_doc_lsh_candidates(spark, sf_dir)
+    # dedup_clusters is EAGER (localCheckpoint per contraction round), so
+    # the candidate pairs — and the cap_buckets guard cache they depend
+    # on — have fully materialized by the time it returns; releasing the
+    # guard cache here is the documented lifecycle point
     cl = dedup_clusters(pairs)
     release_guard_caches()
     return cl.select(
@@ -1835,6 +1841,28 @@ FROM src GROUP BY doc_id
 """
 
 
+def _doc_tokens(spark, sf_dir):
+    """documents → (doc_id, tokens array<int>): the deterministic
+    text→token derivation shared by the tok_* queries (portable word
+    hash mod 32000 — replayed identically in every oracle)."""
+    from scylla_cdc_rust_spark.functions.text import word_hash
+
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.transform(
+            F.split("text", " "), lambda w: word_hash(w) % 32000
+        ).alias("tokens"),
+    )
+
+
+_SQL_DOC_TOKS = f"""
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        w -> ({_h_duck("w")}) % 32000) AS toks
+  FROM documents
+"""
+
+
 def q_tok_ngram_contamination(spark, sf_dir):
     """Decontamination on PRE-TOKENIZED sequences — the engine's target
     shape (doc_id, tokens array<int>), no detokenization round-trip
@@ -1843,18 +1871,12 @@ def q_tok_ngram_contamination(spark, sf_dir):
     identically in the oracle); token 3-gram hashes fold as
     a = (a·31 + t) % M31, closed-form reproducible in SQL; benchmark =
     the 1-in-16 doc_id hash slice, its distinct gram set broadcast."""
-    from scylla_cdc_rust_spark.functions.text import word_hash
     from scylla_cdc_rust_spark.operators.decontam import (
         token_ngram_contamination,
     )
     from scylla_cdc_rust_spark.operators.sampling import sample_hash
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id",
-        F.transform(
-            F.split("text", " "), lambda w: word_hash(w) % 32000
-        ).alias("tokens"),
-    )
+    d = _doc_tokens(spark, sf_dir)
     is_bench = sample_hash("doc_id", 16) == 0
     out = token_ngram_contamination(
         corpus=d.where(~is_bench), benchmark=d.where(is_bench), n=3
@@ -1863,12 +1885,11 @@ def q_tok_ngram_contamination(spark, sf_dir):
 
 
 SQL_TOK_NGRAM_CONTAMINATION = f"""
-WITH tagged AS (
-  SELECT doc_id,
-         list_transform(string_split(text, ' '),
-                        w -> ({_h_duck("w")}) % 32000) AS toks,
+WITH d AS ({_SQL_DOC_TOKS}),
+tagged AS (
+  SELECT doc_id, toks,
          {_h_duck("CAST(doc_id AS VARCHAR)")} % 16 = 0 AS is_bench
-  FROM documents
+  FROM d
 ), grams AS (
   SELECT doc_id, is_bench,
          ((toks[i] * 31 + toks[i + 1]) % {M31} * 31 + toks[i + 2]) % {M31} AS h
@@ -2665,28 +2686,6 @@ WHERE CASE WHEN a.doc_id IS NULL THEN 'INSERT'
 # Round-5 additions: context-window chunking, vocabulary stats, domain
 # mixture resampling — all over the input_hint token shape
 # ===========================================================================
-
-
-def _doc_tokens(spark, sf_dir):
-    """documents → (doc_id, tokens array<int>): the deterministic
-    text→token derivation shared by the tok_* queries (portable word
-    hash mod 32000 — replayed identically in every oracle)."""
-    from scylla_cdc_rust_spark.functions.text import word_hash
-
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id",
-        F.transform(
-            F.split("text", " "), lambda w: word_hash(w) % 32000
-        ).alias("tokens"),
-    )
-
-
-_SQL_DOC_TOKS = f"""
-  SELECT doc_id,
-         list_transform(string_split(text, ' '),
-                        w -> ({_h_duck("w")}) % 32000) AS toks
-  FROM documents
-"""
 
 
 def q_tok_chunking(spark, sf_dir):

@@ -124,9 +124,29 @@ class StreamingReplay:
         self.applied_end_ms = safe_end_ms
 
     def _on_batch(self, batch_df, _sid: int) -> None:
-        r = batch_df.agg(
-            F.max(TIME_MS).alias("mx"), F.min(TIME_MS).alias("mn")
-        ).collect()[0]
+        aggs = [F.max(TIME_MS).alias("mx"), F.min(TIME_MS).alias("mn")]
+        if self.applied_end_ms is not None:
+            # genuinely-late rows: below a window end APPLIED THIS RUN
+            # but not below the checkpoint floor (those are presumed
+            # already applied — see case (3) below).  Counted per batch
+            # rather than inferred from the batch min, so one old
+            # redelivered row cannot shield late rows above the resume
+            # floor from detection.
+            lo_bound = (
+                self.resume_floor_ms
+                if self.resume_floor_ms is not None
+                else -(1 << 62)
+            )
+            aggs.append(
+                F.sum(
+                    F.when(
+                        (F.col(TIME_MS) < F.lit(self.applied_end_ms))
+                        & (F.col(TIME_MS) >= F.lit(lo_bound)),
+                        1,
+                    ).otherwise(0)
+                ).alias("n_late")
+            )
+        r = batch_df.agg(*aggs).collect()[0]
         if r["mx"] is None:
             return
         if self.frontier_ms is None or r["mx"] > self.frontier_ms:
@@ -144,36 +164,35 @@ class StreamingReplay:
                     self.catchup_end_ms = hi
             else:
                 self.floor_ms = int(r["mn"])
-        elif r["mn"] < self.floor_ms:
-            # data below the current floor.  Three distinct cases:
-            if (
-                self.applied_end_ms is not None
-                and r["mn"] < self.applied_end_ms
-                and (
-                    self.resume_floor_ms is None
-                    or r["mn"] >= self.resume_floor_ms
-                )
-            ):
-                # (1) below a window end APPLIED IN THIS RUN (and not an
-                # already-checkpointed old segment): the fold committed
-                # without these rows — the contract violation the
-                # reference's clock-drift guard protects against
+        else:
+            if self.applied_end_ms is not None and (r["n_late"] or 0) > 0:
+                # (1) rows below a window end APPLIED IN THIS RUN (and
+                # not below the checkpoint floor): the fold committed
+                # without them — the contract violation the reference's
+                # clock-drift guard protects against
                 # (stream_reader.rs:256-345); fail loudly
                 raise RuntimeError(
-                    f"late data below applied window end: {r['mn']} < "
-                    f"{self.applied_end_ms}; increase safety_interval_ms "
-                    "or repair via batch replay"
+                    f"{r['n_late']} late event(s) below applied window "
+                    f"end {self.applied_end_ms}; increase "
+                    "safety_interval_ms or repair via batch replay"
                 )
-            if self.applied_end_ms is None and self.resume_floor_ms is None:
-                # (2) micro-batch DISCOVERY order is not time order and
-                # nothing has been applied yet — lower the provisional
-                # floor (it was only the first batch's min)
-                self.floor_ms = int(r["mn"])
-            # (3) else: a segment below the checkpoint floor rediscovered
-            # (e.g. the streaming checkpoint was lost but the engine's
-            # watermarks survived) — already applied; windows never
-            # rescan below the resume floor, same as the reference
-            # resuming from its saved progress row
+            if r["mn"] < self.floor_ms:
+                if self.applied_end_ms is None and self.resume_floor_ms is None:
+                    # (2) micro-batch DISCOVERY order is not time order
+                    # and nothing has been applied yet — lower the
+                    # provisional floor (it was only the first batch's
+                    # min)
+                    self.floor_ms = int(r["mn"])
+                # (3) else: rows below the checkpoint floor — presumed
+                # already applied (a rediscovered segment after a lost
+                # streaming checkpoint); windows never rescan below the
+                # resume floor, the same assumption the reference makes
+                # when resuming from its saved progress row.  A producer
+                # that violates the safety contract below the SAVED
+                # watermark is indistinguishable from redelivery without
+                # consulting the target table — repair path for that is
+                # a bounded batch replay over the suspect span (the
+                # idempotent merge makes it safe to over-apply).
         safe_end = self.frontier_ms - self.cfg.safety_interval_ms
         if self.cfg.end_timestamp_ms is not None:
             safe_end = min(safe_end, self.cfg.end_timestamp_ms)

@@ -267,7 +267,7 @@ def test_late_data_guard_three_cases(spark, tmp_path):
     sr = StreamingReplay(spark, cfg1, MODES)
     sr._on_batch(batch_between(cfg1, mid, hi + 1), 0)
     assert sr.applied_end_ms is not None  # [mid, hi) applied
-    with pytest.raises(RuntimeError, match="late data below applied"):
+    with pytest.raises(RuntimeError, match="late event"):
         sr._on_batch(batch_between(cfg1, lo, mid), 1)
 
     # (3) below the checkpoint floor after a full replay: absorbed
@@ -280,3 +280,50 @@ def test_late_data_guard_three_cases(spark, tmp_path):
     assert sr.resume_floor_ms is not None
     sr._on_batch(batch_between(cfg3, lo, mid), 1)  # old segment: no raise
     assert sr.floor_ms >= sr.resume_floor_ms
+
+
+def test_late_data_guard_mixed_batch_not_shielded(spark, tmp_path):
+    """A batch mixing one pre-resume-floor row (benign redelivery) with
+    rows below a window end applied THIS RUN must still fail-fast: late
+    detection counts rows in the late interval, it does not infer from
+    the batch min (which the old row would shield)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from scylla_cdc_rust_spark.model import TIME_MS
+
+    tbl = generate_log(LogSpec(n_events=2_000, n_docs=100, seed=7))
+    cfg = make_cfg(str(tmp_path), tbl, safety_interval_ms=0,
+                   window_size_ms=10**15)
+    r = (
+        spark.read.parquet(cfg.log_path)
+        .agg(F.min(TIME_MS).alias("lo"), F.max(TIME_MS).alias("hi"))
+        .first()
+    )
+    lo, hi = int(r["lo"]), int(r["hi"])
+    mid, q3 = lo + (hi - lo) // 2, lo + 3 * (hi - lo) // 4
+
+    def batch_between(lo_incl, hi_excl):
+        return (
+            spark.read.parquet(cfg.log_path)
+            .where((F.col(TIME_MS) >= lo_incl) & (F.col(TIME_MS) < hi_excl))
+            .select(TIME_MS)
+        )
+
+    # first run applies [lo, mid) and checkpoints (stop_at = mid)
+    cfg.end_timestamp_ms = mid
+    StreamingReplay(spark, cfg, MODES).run_available_now(drain=True)
+    # resumed run applies [mid, hi) above the saved floor
+    cfg.end_timestamp_ms = None
+    cfg.checkpoint_location = cfg.checkpoint_location + "_2"
+    sr = StreamingReplay(spark, cfg, MODES)
+    sr._on_batch(batch_between(q3, hi + 1), 0)
+    assert sr.resume_floor_ms is not None and sr.applied_end_ms is not None
+    # mixed batch: rows below the resume floor (benign) AND rows in
+    # [resume_floor, applied_end) (genuinely late) — must raise
+    with pytest.raises(RuntimeError, match="late event"):
+        sr._on_batch(batch_between(lo, q3), 1)
+    # purely-old batch (all below the resume floor): absorbed
+    sr2 = StreamingReplay(spark, cfg, MODES)
+    sr2._on_batch(batch_between(q3, hi + 1), 0)
+    sr2._on_batch(batch_between(lo, sr2.resume_floor_ms), 1)  # no raise
