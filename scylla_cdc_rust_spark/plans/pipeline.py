@@ -216,3 +216,70 @@ def replay(
         stats.epochs.append(ep)
     stats.seconds = time.time() - t0
     return stats
+
+
+def repair_span(
+    spark: SparkSession,
+    cfg: CDCPipelineConfig,
+    begin_ms: int,
+    end_ms: int,
+    collection_modes: dict[str, str] | None = None,
+    key: str = "doc_id",
+) -> int:
+    """Bounded idempotent re-apply of log rows in [begin_ms, end_ms) —
+    the repair path for data that surfaced BELOW the applied floor /
+    saved watermark (the streaming late-data guard's documented remedy,
+    streaming/stream_pipeline.py case (1)/(3)).
+
+    The per-stream watermark filter is bypassed (the rows needing repair
+    sit below the saved floors by definition) and watermarks are neither
+    advanced nor regressed.  Correctness rests on the merge being a
+    join-semilattice: every cell / collection element carries its packed
+    ord and the max wins, so re-applying ANY subset of history —
+    including rows already reflected in the target — cannot move the
+    state backwards, and the retained row tombstones
+    (cfg.keep_tombstones) keep late writes below a delete dead exactly
+    as a full replay would.  Reference analog: the replication tests
+    re-running overlapping windows through the same consumer and
+    asserting convergence (replication_tests.rs:166-208).
+
+    Returns the number of events re-applied (0 when the span is empty).
+    """
+    if end_ms <= begin_ms:
+        return 0
+    collection_modes = collection_modes or dict(cfg.collection_modes)
+    table = ParquetMergeTable(
+        spark, cfg.target_path, num_buckets=cfg.target_num_buckets, key=key
+    )
+    from scylla_cdc_rust_spark.operators.fold import resolve_set_impl
+    from scylla_cdc_rust_spark.sources.log_source import epochs_present
+
+    epoch_dirs = epochs_present(cfg.log_path)
+    if epoch_dirs is not None:
+        # per-generation scoped reads: epochs may carry evolved schemas
+        frames = [
+            (ep, spark.read.parquet(f"{cfg.log_path}/{EPOCH}={ep}"))
+            for ep in epoch_dirs
+        ]
+    else:
+        frames = [(0, spark.read.parquet(cfg.log_path))]
+    total = 0
+    for ep, edf in frames:
+        batch = edf.where(
+            (F.col(TIME_MS) >= begin_ms) & (F.col(TIME_MS) < end_ms)
+        )
+        if batch.isEmpty():
+            continue
+        impl = resolve_set_impl(batch, collection_modes, key, cfg.set_impl)
+        total += apply_window(
+            batch,
+            table,
+            None,  # no watermark commit: floors must not regress
+            window_end_ms=end_ms,
+            generation=ep,
+            batch_id=-1,
+            collection_modes=collection_modes,
+            key=key,
+            set_impl=impl,
+        )
+    return total

@@ -174,7 +174,8 @@ class StreamingReplay:
                 raise RuntimeError(
                     f"{r['n_late']} late event(s) below applied window "
                     f"end {self.applied_end_ms}; increase "
-                    "safety_interval_ms or repair via batch replay"
+                    "safety_interval_ms or repair via plans.pipeline."
+                    "repair_span over the late interval"
                 )
             if r["mn"] < self.floor_ms:
                 if self.applied_end_ms is None and self.resume_floor_ms is None:
@@ -190,9 +191,9 @@ class StreamingReplay:
                 # when resuming from its saved progress row.  A producer
                 # that violates the safety contract below the SAVED
                 # watermark is indistinguishable from redelivery without
-                # consulting the target table — repair path for that is
-                # a bounded batch replay over the suspect span (the
-                # idempotent merge makes it safe to over-apply).
+                # consulting the target table — the repair path for that
+                # is plans.pipeline.repair_span over the suspect span
+                # (the idempotent merge makes it safe to over-apply).
         safe_end = self.frontier_ms - self.cfg.safety_interval_ms
         if self.cfg.end_timestamp_ms is not None:
             safe_end = min(safe_end, self.cfg.end_timestamp_ms)

@@ -321,3 +321,59 @@ def test_watermark_snapshot_pruning(spark, tmp_path):
     assert_state_equal(
         visible_state(spark, cfg), oracle_replay(tbl, collection_modes=MODES)
     )
+
+
+def test_repair_span_heals_late_gap(spark, tmp_path):
+    """Late-arrival repair (plans.pipeline.repair_span): a time slice of
+    the log surfaces only AFTER replay advanced the watermarks past it
+    (a producer violating the safety interval).  repair_span re-applies
+    the slice idempotently through the same fold→merge path — the final
+    state equals the full-log oracle, already-applied spans can be
+    over-repaired safely, and the saved watermark floors do not
+    regress."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_rust_spark.model import TIME_MS
+    from scylla_cdc_rust_spark.plans.pipeline import repair_span
+    from scylla_cdc_rust_spark.sources.checkpoints import WatermarkStore
+
+    tbl = generate_log(LogSpec(n_events=6_000, n_docs=200, seed=41))
+    cfg = make_cfg(str(tmp_path), tbl)
+    ep_dir = os.path.join(cfg.log_path, "epoch=0")
+
+    # carve a mid-log time slice out of the on-disk log
+    full = pq.read_table(ep_dir)
+    times = full.column(TIME_MS)
+    a = int(pc.quantile(times, q=0.4).to_pylist()[0])
+    b = int(pc.quantile(times, q=0.6).to_pylist()[0])
+    in_slice = pc.and_(pc.greater_equal(times, a), pc.less(times, b))
+    slice_tbl = full.filter(in_slice)
+    assert slice_tbl.num_rows > 0
+    rest = full.filter(pc.invert(in_slice))
+    import shutil
+
+    shutil.rmtree(ep_dir)
+    os.makedirs(ep_dir)
+    pq.write_table(rest, os.path.join(ep_dir, "part-rest.parquet"))
+
+    # replay advances past the gap without the slice
+    replay(spark, cfg, MODES)
+    floors_before = WatermarkStore(spark, cfg.watermark_path).stream_floors()
+
+    # the slice arrives late; repair re-applies exactly [a, b)
+    pq.write_table(slice_tbl, os.path.join(ep_dir, "part-late.parquet"))
+    n = repair_span(spark, cfg, a, b, MODES)
+    assert n == slice_tbl.num_rows
+
+    assert_state_equal(visible_state(spark, cfg), oracle_replay(tbl, collection_modes=MODES))
+    # floors untouched — repair must not advance OR regress watermarks
+    floors_after = WatermarkStore(spark, cfg.watermark_path).stream_floors()
+    assert floors_after == floors_before
+
+    # over-repair: a wider span (covering already-applied history) is a
+    # no-op on the state — the merge is a join-semilattice
+    lo_all = int(pc.min(times).as_py())
+    hi_all = int(pc.max(times).as_py()) + 1
+    repair_span(spark, cfg, lo_all, hi_all, MODES)
+    assert_state_equal(visible_state(spark, cfg), oracle_replay(tbl, collection_modes=MODES))
