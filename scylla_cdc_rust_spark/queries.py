@@ -3197,6 +3197,71 @@ HAVING max(CASE WHEN base_op IN (1,2) THEN ord END)
 )
 
 
+def q_engine_repair_replay(spark, sf_dir):
+    """Late-data REPAIR driver gate (plans.pipeline.repair_span): carve a
+    mid-log time slice out of the on-disk log, replay the rest — the
+    watermarks advance PAST the gap — then land the slice late and
+    re-apply exactly [a, b) through the same fold→merge path with the
+    watermark filter bypassed.  The healed final table must equal the
+    closed-form LWW state of the FULL log: the gate proves the
+    join-semilattice repair story end to end (missing history lands,
+    already-applied history cannot regress, tombstones stay authoritative
+    over late writes below them).
+
+    Reference analog: replication tests replaying overlapping windows
+    through the consumer and asserting convergence
+    (replication_tests.rs:166-208)."""
+    import os
+    import shutil
+    import tempfile
+
+    from scylla_cdc_rust_spark import model as M
+    from scylla_cdc_rust_spark.config import CDCPipelineConfig
+    from scylla_cdc_rust_spark.operators.merge import ParquetMergeTable
+    from scylla_cdc_rust_spark.plans.pipeline import repair_span, replay
+
+    log = _cdc_shaped_log(spark, sf_dir)
+    b = log.agg(
+        F.min(F.col(M.TIME_MS)).alias("lo"), F.max(F.col(M.TIME_MS)).alias("hi")
+    ).first()
+    lo, hi = int(b["lo"]), int(b["hi"])
+    a = lo + 2 * (hi + 1 - lo) // 5
+    z = lo + 3 * (hi + 1 - lo) // 5  # the held-back slice: [a, z)
+    in_slice = (F.col(M.TIME_MS) >= a) & (F.col(M.TIME_MS) < z)
+    d = tempfile.mkdtemp(prefix="repair_q_")
+    try:
+        ep = os.path.join(d, "log", "epoch=0")
+        log.where(~in_slice).write.parquet(ep)
+        cfg = CDCPipelineConfig(
+            log_path=os.path.join(d, "log"),
+            target_path=os.path.join(d, "target"),
+            watermark_path=os.path.join(d, "wm"),
+            window_size_ms=max(1, (hi + 1 - lo + 1) // 2),
+            target_num_buckets=8,
+            collection_modes={"tokens": "list"},
+        )
+        replay(spark, cfg)  # advances watermarks past the gap
+        log.where(in_slice).write.mode("append").parquet(ep)  # arrives late
+        repair_span(spark, cfg, a, z)
+        out = ParquetMergeTable(
+            spark, cfg.target_path, num_buckets=8
+        ).read_visible().select(
+            "doc_id",
+            _tokens_csv(),
+            F.col("n_tok").cast("long").alias("n_tok"),
+            "source",
+        )
+        rows = out.collect()  # materialize before the tmpdir vanishes
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+# the healed state must equal the full-log list-mode LWW final state —
+# identical closed form to the streaming gate's oracle
+SQL_ENGINE_REPAIR_REPLAY = SQL_ENGINE_STREAMING_REPLAY
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -3259,6 +3324,7 @@ QUERIES = {
     "engine_replay_lineage": q_engine_replay_lineage,
     "engine_schema_evolution": q_engine_schema_evolution,
     "engine_streaming_replay": q_engine_streaming_replay,
+    "engine_repair_replay": q_engine_repair_replay,
 }
 
 ORACLE_SQL = {
@@ -3319,6 +3385,7 @@ ORACLE_SQL = {
     "engine_replay_lineage": SQL_ENGINE_REPLAY_LINEAGE,
     "engine_schema_evolution": SQL_ENGINE_SCHEMA_EVOLUTION,
     "engine_streaming_replay": SQL_ENGINE_STREAMING_REPLAY,
+    "engine_repair_replay": SQL_ENGINE_REPAIR_REPLAY,
 }
 
 #: execution tier per query.  "production" = the declarative JVM-side
