@@ -70,3 +70,47 @@ def test_replay_runs_from_pyfiles_zip(tmp_path):
     assert out.returncode == 0, out.stderr[-3000:]
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["match"] and res["docs"] > 0
+
+
+def test_replay_runs_via_spark_submit_py_files(tmp_path):
+    """The literal deployment command the north rule names:
+    ``spark-submit --py-files scylla_cdc_rust_spark.zip driver.py`` —
+    the driver imports the package from the shipped zip (spark-submit
+    puts --py-files on the driver's sys.path and ships it to executors)
+    and replays a log end-to-end against the sequential oracle."""
+    import pyspark
+
+    spark_submit = os.path.join(
+        os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+    )
+    if not os.path.exists(spark_submit):  # pragma: no cover
+        import pytest
+
+        pytest.skip("no spark-submit launcher in this pyspark install")
+    sys.path.insert(0, REPO)
+    from scripts.make_pyfiles_zip import build
+
+    zp = build(str(tmp_path / "scylla_cdc_rust_spark.zip"))
+    driver = tmp_path / "driver.py"
+    # spark-submit provides the SparkSession config via the CLI; the
+    # driver must not re-point PYTHONPATH at the repo
+    driver.write_text(DRIVER)
+    env = {k: v for k, v in os.environ.items() if k not in ("PYTHONPATH",)}
+    out = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", zp,
+            str(driver), str(tmp_path / "work"),
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=str(tmp_path),  # off the repo: no accidental source imports
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["match"] and res["docs"] > 0
