@@ -351,6 +351,17 @@ class ParquetMergeTable:
             BUCKET_COL, bucket_of(F.col(self.key), self.num_buckets)
         )
 
+        stats = self._commit_cow(new_state, affected)
+        return {
+            **stats,
+            "rows_written": None,  # no extra count job; lineage lives in watermarks
+            "seconds": time.time() - t0,
+        }
+
+    def _commit_cow(self, new_state: DataFrame, affected: list[int]) -> dict:
+        """COW tail shared by ``merge`` / ``delete_keys``: write the
+        affected buckets under a new version dir and flip the manifest.
+        ``new_state`` must already carry ``BUCKET_COL``."""
         old_v = self.version()
         new_v = (old_v or 0) + 1
         rel = f"data/v{new_v}"
@@ -362,7 +373,6 @@ class ParquetMergeTable:
         new_state.repartition(len(affected), F.col(BUCKET_COL)).write.mode(
             "overwrite"
         ).partitionBy(BUCKET_COL).parquet(out_dir)
-        rows = None  # avoid an extra count job; lineage counters live in watermarks
 
         old_m = self._manifest() or {"buckets": {}, "schema": None}
         buckets = dict(old_m["buckets"])
@@ -382,12 +392,42 @@ class ParquetMergeTable:
                 "committed_at_ms": int(time.time() * 1000),
             }
         )
-        return {
-            "version": new_v,
-            "buckets_rewritten": len(affected),
-            "rows_written": rows,
-            "seconds": time.time() - t0,
-        }
+        return {"version": new_v, "buckets_rewritten": len(affected)}
+
+    def delete_keys(self, keys: DataFrame) -> dict:
+        """Physically REMOVE the given keys' rows (bucket-pruned COW
+        anti-join rewrite) — the reset step of
+        ``plans.pipeline.repair_span``.
+
+        Unlike a tombstone merge this erases the rows' bookkeeping
+        (``last_ord``), so a subsequent re-fold of the keys' complete
+        history starts from a clean slate instead of being dropped by
+        the staleness gate.  Not part of the CDC apply path — replayed
+        deletes go through the normal tombstone merge."""
+        t0 = time.time()
+        m0 = self._manifest()
+        if m0 is None:
+            return {"buckets_rewritten": 0, "seconds": 0.0}
+        keys = keys.select(self.key).distinct()
+        affected = [
+            r[0]
+            for r in keys.select(
+                bucket_of(F.col(self.key), self.num_buckets).alias(BUCKET_COL)
+            )
+            .distinct()
+            .collect()
+            if str(r[0]) in m0["buckets"]
+        ]
+        if not affected:
+            return {"buckets_rewritten": 0, "seconds": 0.0}
+        current = self.read(buckets=affected)
+        # join strategy left to AQE: a narrow repair broadcasts the key
+        # set, a massive one falls back to a shuffled anti-join
+        new_state = current.join(keys, self.key, "left_anti").withColumn(
+            BUCKET_COL, bucket_of(F.col(self.key), self.num_buckets)
+        )
+        stats = self._commit_cow(new_state, affected)
+        return {**stats, "seconds": time.time() - t0}
 
     # ---------- maintenance ----------
 

@@ -226,60 +226,111 @@ def repair_span(
     collection_modes: dict[str, str] | None = None,
     key: str = "doc_id",
 ) -> int:
-    """Bounded idempotent re-apply of log rows in [begin_ms, end_ms) —
-    the repair path for data that surfaced BELOW the applied floor /
-    saved watermark (the streaming late-data guard's documented remedy,
-    streaming/stream_pipeline.py case (1)/(3)).
+    """Repair for log rows in [begin_ms, end_ms) that surfaced BELOW the
+    applied floor / saved watermark (the streaming late-data guard's
+    documented remedy, streaming/stream_pipeline.py case (1)/(3)).
 
-    The per-stream watermark filter is bypassed (the rows needing repair
-    sit below the saved floors by definition) and watermarks are neither
-    advanced nor regressed.  Correctness rests on the merge being a
-    join-semilattice: every cell / collection element carries its packed
-    ord and the max wins, so re-applying ANY subset of history —
-    including rows already reflected in the target — cannot move the
-    state backwards, and the retained row tombstones
-    (cfg.keep_tombstones) keep late writes below a delete dead exactly
-    as a full replay would.  Reference analog: the replication tests
-    re-running overlapping windows through the same consumer and
-    asserting convergence (replication_tests.rs:166-208).
+    Correctness model — why this is a per-key RE-FOLD, not a merge of
+    the slice: the target materializes only the FOLDED state (no
+    per-cell ords survive a merge), so LWW-merging a mid-history slice
+    is unsound in general — a key whose newest write of some cell sits
+    inside the late span while its row-level ``last_ord`` is already
+    beyond it would be dropped wholesale by the staleness gate, and a
+    late set-element add below an element's later removal could not be
+    adjudicated without the discarded element ord.  Instead the repair:
 
-    Returns the number of events re-applied (0 when the span is empty).
+    1. collects the affected PARTITION KEYS from the late span
+       (partition-key granularity, not full key: pk-prefix deletes
+       carry no clustering key, and a pk superset is always safe);
+    2. physically RESETS those keys' target rows
+       (``ParquetMergeTable.delete_keys``, bucket-pruned COW rewrite —
+       erasing ``last_ord`` bookkeeping so nothing is "stale");
+    3. re-folds their COMPLETE history from the log through the same
+       epoch-sequential apply path as ``replay`` — final state per key
+       is the fold of ALL its events, the fold≡replay equivalence the
+       test suite pins.
+
+    Cost is bounded by the affected keys' history plus one scan per
+    generation, never the table size.  Watermarks are neither advanced
+    nor regressed (the re-folded events' windows were already
+    committed).  Idempotent: repeating the repair re-derives the same
+    per-key state.  Reference analog: the replication tests re-running
+    overlapping windows through the same consumer and asserting
+    convergence (replication_tests.rs:166-208).
+
+    Returns the number of events re-folded (the affected keys' complete
+    histories; 0 when the span holds no events).
     """
     if end_ms <= begin_ms:
         return 0
     collection_modes = collection_modes or dict(cfg.collection_modes)
+    keys = [key] if isinstance(key, str) else list(key)
+    pk = keys[0]
     table = ParquetMergeTable(
         spark, cfg.target_path, num_buckets=cfg.target_num_buckets, key=key
     )
     from scylla_cdc_rust_spark.operators.fold import resolve_set_impl
-    from scylla_cdc_rust_spark.sources.log_source import epochs_present
+    from scylla_cdc_rust_spark.sources.log_source import (
+        epochs_present,
+        time_bounds,
+    )
 
     epoch_dirs = epochs_present(cfg.log_path)
     if epoch_dirs is not None:
         # per-generation scoped reads: epochs may carry evolved schemas
         frames = [
-            (ep, spark.read.parquet(f"{cfg.log_path}/{EPOCH}={ep}"))
+            (ep, True, spark.read.parquet(f"{cfg.log_path}/{EPOCH}={ep}"))
             for ep in epoch_dirs
         ]
     else:
-        frames = [(0, spark.read.parquet(cfg.log_path))]
-    total = 0
-    for ep, edf in frames:
-        batch = edf.where(
-            (F.col(TIME_MS) >= begin_ms) & (F.col(TIME_MS) < end_ms)
-        )
-        if batch.isEmpty():
+        log0 = spark.read.parquet(cfg.log_path)
+        if EPOCH in log0.columns:
+            eps = sorted(
+                r[0] for r in log0.select(EPOCH).distinct().collect()
+            )
+            frames = [
+                (ep, False, log0.where(F.col(EPOCH) == ep)) for ep in eps
+            ]
+        else:
+            frames = [(0, False, log0)]
+
+    # affected partition keys: only generations whose footer time bounds
+    # intersect the span are scanned for the key set
+    span_parts = []
+    for ep, scoped, edf in frames:
+        b = time_bounds(cfg.log_path, ep if scoped else None)
+        if b is not None and (b[1] < begin_ms or b[0] >= end_ms):
             continue
-        impl = resolve_set_impl(batch, collection_modes, key, cfg.set_impl)
-        total += apply_window(
-            batch,
-            table,
-            None,  # no watermark commit: floors must not regress
-            window_end_ms=end_ms,
-            generation=ep,
-            batch_id=-1,
-            collection_modes=collection_modes,
-            key=key,
-            set_impl=impl,
+        span_parts.append(
+            edf.where(
+                (F.col(TIME_MS) >= begin_ms) & (F.col(TIME_MS) < end_ms)
+            ).select(pk)
         )
-    return total
+    if not span_parts:
+        return 0
+    span_keys = span_parts[0]
+    for part in span_parts[1:]:
+        span_keys = span_keys.unionByName(part)
+    span_keys = span_keys.distinct().persist()
+    try:
+        if span_keys.isEmpty():
+            return 0
+        table.delete_keys(span_keys)
+        total = 0
+        for ep, _scoped, edf in frames:  # generation barrier, as in replay
+            hist = edf.join(span_keys, pk, "left_semi")
+            impl = resolve_set_impl(hist, collection_modes, key, cfg.set_impl)
+            total += apply_window(
+                hist,
+                table,
+                None,  # no watermark commit: floors must not move
+                window_end_ms=end_ms,
+                generation=ep,
+                batch_id=-1,
+                collection_modes=collection_modes,
+                key=key,
+                set_impl=impl,
+            )
+        return total
+    finally:
+        span_keys.unpersist()

@@ -364,7 +364,9 @@ def test_repair_span_heals_late_gap(spark, tmp_path):
     # the slice arrives late; repair re-applies exactly [a, b)
     pq.write_table(slice_tbl, os.path.join(ep_dir, "part-late.parquet"))
     n = repair_span(spark, cfg, a, b, MODES)
-    assert n == slice_tbl.num_rows
+    # n = the affected keys' COMPLETE histories (reset + re-fold), a
+    # superset of the slice itself
+    assert n >= slice_tbl.num_rows
 
     assert_state_equal(visible_state(spark, cfg), oracle_replay(tbl, collection_modes=MODES))
     # floors untouched — repair must not advance OR regress watermarks
@@ -377,3 +379,52 @@ def test_repair_span_heals_late_gap(spark, tmp_path):
     hi_all = int(pc.max(times).as_py()) + 1
     repair_span(spark, cfg, lo_all, hi_all, MODES)
     assert_state_equal(visible_state(spark, cfg), oracle_replay(tbl, collection_modes=MODES))
+
+
+def test_repair_span_refolds_keys_with_later_activity(spark, tmp_path):
+    """The adversarial late-data shape a slice-MERGE cannot heal: the
+    late span holds the NEWEST write of one cell (n_tok) and a
+    set-element add, while the key has LATER applied activity (a source
+    write and an element removal) — so the target's last_ord already
+    exceeds every late ord and the wholesale staleness gate would drop
+    a merged slice delta, and the late-added-then-removed element could
+    not be adjudicated without the discarded element ord.  repair_span
+    (reset + complete-history re-fold) must land the late cell write,
+    keep the removed element dead, and leave untouched keys alone."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_rust_spark.model import EPOCH, TIME_MS
+    from scylla_cdc_rust_spark.plans.pipeline import repair_span
+    from tests.scenarios import T0, LogBuilder
+
+    b = (
+        LogBuilder()
+        .insert("x", [1, 2])                # T0+1000 applied
+        .update("x", tokens=[3], n_tok=7)   # T0+2000 LATE: newest n_tok write
+        .add_tokens("x", [8])               # T0+3000 LATE: add, removed later
+        .update("x", source="s2")           # T0+4000 applied: later activity
+        .remove_tokens("x", [8])            # T0+5000 applied
+        .insert("y", [9])                   # T0+6000 untouched control key
+    )
+    full = b.build()
+    a, z = T0 + 2000, T0 + 3001
+    times = full.column(TIME_MS)
+    late_mask = pc.and_(pc.greater_equal(times, a), pc.less(times, z))
+
+    cfg = make_cfg(str(tmp_path), full.filter(pc.invert(late_mask)))
+    replay(spark, cfg, MODES)
+    before = visible_state(spark, cfg)
+    assert before["x"]["n_tok"] == 2  # late n_tok=7 not yet visible
+    assert 3 not in (before["x"]["tokens"] or [])
+
+    late = full.filter(late_mask).drop_columns([EPOCH])
+    pq.write_table(
+        late, os.path.join(cfg.log_path, f"{EPOCH}=0", "part-late.parquet")
+    )
+    n = repair_span(spark, cfg, a, z, MODES)
+    assert n == 5  # doc x's complete history; y never re-folded
+    healed = visible_state(spark, cfg)
+    assert healed["x"]["n_tok"] == 7          # late newest cell write landed
+    assert healed["x"]["tokens"] == [1, 2, 3]  # 3 added, 8 stays removed
+    assert_state_equal(healed, oracle_replay(full, collection_modes=MODES))
