@@ -358,10 +358,24 @@ class ParquetMergeTable:
             "seconds": time.time() - t0,
         }
 
-    def _commit_cow(self, new_state: DataFrame, affected: list[int]) -> dict:
+    def _commit_cow(
+        self,
+        new_state: DataFrame,
+        affected: list[int],
+        schema_json: str | None = None,
+    ) -> dict:
         """COW tail shared by ``merge`` / ``delete_keys``: write the
         affected buckets under a new version dir and flip the manifest.
-        ``new_state`` must already carry ``BUCKET_COL``."""
+        ``new_state`` must already carry ``BUCKET_COL``.
+
+        ``schema_json``: the manifest's table-level schema to commit.
+        ``merge`` omits it (evolution flows through the delta, so
+        ``new_state``'s schema IS the evolved table schema); schema-
+        preserving rewrites (``delete_keys``) MUST pass the previous
+        manifest schema — rebuilding it from the affected buckets alone
+        would silently drop evolved columns that only other buckets'
+        files carry, and the next merge would then rewrite those buckets
+        without the column (permanent data loss)."""
         old_v = self.version()
         new_v = (old_v or 0) + 1
         rel = f"data/v{new_v}"
@@ -388,7 +402,8 @@ class ParquetMergeTable:
                 "buckets": buckets,
                 "num_buckets": self.num_buckets,
                 "key": self.key,
-                "schema": new_state.drop(BUCKET_COL).schema.json(),
+                "schema": schema_json
+                or new_state.drop(BUCKET_COL).schema.json(),
                 "committed_at_ms": int(time.time() * 1000),
             }
         )
@@ -426,7 +441,9 @@ class ParquetMergeTable:
         new_state = current.join(keys, self.key, "left_anti").withColumn(
             BUCKET_COL, bucket_of(F.col(self.key), self.num_buckets)
         )
-        stats = self._commit_cow(new_state, affected)
+        # a delete is schema-preserving at TABLE level: carry the old
+        # manifest schema forward (see _commit_cow docstring)
+        stats = self._commit_cow(new_state, affected, schema_json=m0["schema"])
         return {**stats, "seconds": time.time() - t0}
 
     # ---------- maintenance ----------

@@ -112,6 +112,7 @@ def replay(
     track_watermarks: bool = True,
 ) -> ReplayStats:
     """Replay the whole change log at cfg.log_path into the target table."""
+    _require_no_pending_repair(cfg)
     collection_modes = collection_modes or dict(cfg.collection_modes)
     t0 = time.time()
     table = ParquetMergeTable(
@@ -239,14 +240,16 @@ def repair_span(
     late set-element add below an element's later removal could not be
     adjudicated without the discarded element ord.  Instead the repair:
 
-    1. collects the affected PARTITION KEYS from the late span
-       (partition-key granularity, not full key: pk-prefix deletes
-       carry no clustering key, and a pk superset is always safe);
+    1. collects the affected keys from the late span (the merge table
+       is keyed by the partition key, so pk-prefix deletes are covered
+       at this granularity by construction);
     2. physically RESETS those keys' target rows
        (``ParquetMergeTable.delete_keys``, bucket-pruned COW rewrite —
        erasing ``last_ord`` bookkeeping so nothing is "stale");
-    3. re-folds their COMPLETE history from the log through the same
-       epoch-sequential apply path as ``replay`` — final state per key
+    3. re-folds their COMPLETE history from the log — clamped to
+       ``cfg.end_timestamp_ms`` like every other apply path (stop_at
+       must not resurrect post-stop history) — through the same
+       epoch-sequential apply path as ``replay``: final state per key
        is the fold of ALL its events, the fold≡replay equivalence the
        test suite pins.
 
@@ -254,18 +257,33 @@ def repair_span(
     generation, never the table size.  Watermarks are neither advanced
     nor regressed (the re-folded events' windows were already
     committed).  Idempotent: repeating the repair re-derives the same
-    per-key state.  Reference analog: the replication tests re-running
-    overlapping windows through the same consumer and asserting
-    convergence (replication_tests.rs:166-208).
+    per-key state.
+
+    Crash safety: the reset and the per-generation re-folds are
+    separate commits, so a crash mid-repair leaves the affected keys
+    missing or partially folded.  A ``_REPAIR_INPROGRESS`` journal in
+    the target dir brackets the operation: ``replay`` and the streaming
+    pipeline refuse to start while it exists (``pending_repair``), and
+    the recovery is simply re-running ``repair_span`` with the recorded
+    span — the reset+refold is idempotent.  Readers needing a
+    consistent pre-repair view can time-travel to the version before
+    the reset (every commit keeps its manifest until vacuum).
+
+    Reference analog: the replication tests re-running overlapping
+    windows through the same consumer and asserting convergence
+    (replication_tests.rs:166-208).
 
     Returns the number of events re-folded (the affected keys' complete
     histories; 0 when the span holds no events).
     """
+    import json
+    import os
+
+    if cfg.end_timestamp_ms is not None:
+        end_ms = min(end_ms, cfg.end_timestamp_ms)
     if end_ms <= begin_ms:
         return 0
     collection_modes = collection_modes or dict(cfg.collection_modes)
-    keys = [key] if isinstance(key, str) else list(key)
-    pk = keys[0]
     table = ParquetMergeTable(
         spark, cfg.target_path, num_buckets=cfg.target_num_buckets, key=key
     )
@@ -294,17 +312,20 @@ def repair_span(
         else:
             frames = [(0, False, log0)]
 
-    # affected partition keys: only generations whose footer time bounds
-    # intersect the span are scanned for the key set
+    # affected keys: only generations whose footer time bounds intersect
+    # the span are scanned for the key set (one whole-log bounds read
+    # when the log is not epoch-partitioned — per-epoch pruning needs
+    # the directory layout)
+    flat_bounds = time_bounds(cfg.log_path, None) if epoch_dirs is None else None
     span_parts = []
     for ep, scoped, edf in frames:
-        b = time_bounds(cfg.log_path, ep if scoped else None)
+        b = time_bounds(cfg.log_path, ep) if scoped else flat_bounds
         if b is not None and (b[1] < begin_ms or b[0] >= end_ms):
             continue
         span_parts.append(
             edf.where(
                 (F.col(TIME_MS) >= begin_ms) & (F.col(TIME_MS) < end_ms)
-            ).select(pk)
+            ).select(key)
         )
     if not span_parts:
         return 0
@@ -312,13 +333,27 @@ def repair_span(
     for part in span_parts[1:]:
         span_keys = span_keys.unionByName(part)
     span_keys = span_keys.distinct().persist()
+    journal = os.path.join(cfg.target_path, REPAIR_JOURNAL)
     try:
         if span_keys.isEmpty():
             return 0
+        with open(journal, "w") as f:
+            json.dump(
+                {
+                    "begin_ms": begin_ms,
+                    "end_ms": end_ms,
+                    "started_at_ms": int(time.time() * 1000),
+                },
+                f,
+            )
         table.delete_keys(span_keys)
         total = 0
         for ep, _scoped, edf in frames:  # generation barrier, as in replay
-            hist = edf.join(span_keys, pk, "left_semi")
+            hist = edf.join(span_keys, key, "left_semi")
+            if cfg.end_timestamp_ms is not None:
+                hist = hist.where(F.col(TIME_MS) < cfg.end_timestamp_ms)
+            if hist.isEmpty():  # generations without affected-key events
+                continue
             impl = resolve_set_impl(hist, collection_modes, key, cfg.set_impl)
             total += apply_window(
                 hist,
@@ -331,6 +366,35 @@ def repair_span(
                 key=key,
                 set_impl=impl,
             )
+        os.remove(journal)  # repair complete
         return total
     finally:
         span_keys.unpersist()
+
+
+#: journal file bracketing a reset+refold repair; its presence means the
+#: target may be missing (or partially hold) the affected keys
+REPAIR_JOURNAL = "_REPAIR_INPROGRESS"
+
+
+def pending_repair(cfg: CDCPipelineConfig) -> dict | None:
+    """The crashed repair's journal ({begin_ms, end_ms, started_at_ms}),
+    or None.  Recovery: re-run ``repair_span`` with the recorded span."""
+    import json
+    import os
+
+    p = os.path.join(cfg.target_path, REPAIR_JOURNAL)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _require_no_pending_repair(cfg: CDCPipelineConfig) -> None:
+    j = pending_repair(cfg)
+    if j is not None:
+        raise RuntimeError(
+            "a crashed repair_span left the target inconsistent "
+            f"(journal: {j}); re-run repair_span(spark, cfg, "
+            f"{j['begin_ms']}, {j['end_ms']}) before replaying"
+        )

@@ -47,6 +47,11 @@ class StreamingReplay:
         key: str = "doc_id",
         generation: int = 0,
     ):
+        from scylla_cdc_rust_spark.plans.pipeline import (
+            _require_no_pending_repair,
+        )
+
+        _require_no_pending_repair(cfg)
         self.spark = spark
         self.cfg = cfg
         self.modes = collection_modes or dict(cfg.collection_modes)

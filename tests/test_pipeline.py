@@ -428,3 +428,93 @@ def test_repair_span_refolds_keys_with_later_activity(spark, tmp_path):
     assert healed["x"]["n_tok"] == 7          # late newest cell write landed
     assert healed["x"]["tokens"] == [1, 2, 3]  # 3 added, 8 stays removed
     assert_state_equal(healed, oracle_replay(full, collection_modes=MODES))
+
+
+def test_repair_crash_journal_blocks_and_recovers(spark, tmp_path):
+    """A crash between the key reset and the re-fold leaves the
+    _REPAIR_INPROGRESS journal: replay (and streaming) refuse to start,
+    pending_repair surfaces the recorded span, and re-running
+    repair_span heals the table and clears the journal."""
+    import json
+
+    import pyarrow.compute as pc
+
+    from scylla_cdc_rust_spark.model import TIME_MS
+    from scylla_cdc_rust_spark.plans.pipeline import (
+        REPAIR_JOURNAL,
+        pending_repair,
+        repair_span,
+    )
+    from scylla_cdc_rust_spark.streaming.stream_pipeline import StreamingReplay
+
+    tbl = generate_log(LogSpec(n_events=4_000, n_docs=150, seed=13))
+    cfg = make_cfg(str(tmp_path), tbl)
+    replay(spark, cfg, MODES)
+
+    times = tbl.column(TIME_MS)
+    lo, hi = int(pc.min(times).as_py()), int(pc.max(times).as_py())
+    a, b = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    # simulate the crash: keys reset + journal present, no re-fold
+    log_df = spark.read.parquet(cfg.log_path)
+    span_keys = (
+        log_df.where((log_df[TIME_MS] >= a) & (log_df[TIME_MS] < b))
+        .select("doc_id")
+        .distinct()
+    )
+    table = ParquetMergeTable(spark, cfg.target_path, num_buckets=8)
+    table.delete_keys(span_keys)
+    with open(os.path.join(cfg.target_path, REPAIR_JOURNAL), "w") as f:
+        json.dump({"begin_ms": a, "end_ms": b, "started_at_ms": 0}, f)
+
+    with pytest.raises(RuntimeError, match="repair_span"):
+        replay(spark, cfg, MODES)
+    with pytest.raises(RuntimeError, match="repair_span"):
+        StreamingReplay(spark, cfg, MODES)
+
+    j = pending_repair(cfg)
+    repair_span(spark, cfg, j["begin_ms"], j["end_ms"], MODES)
+    assert pending_repair(cfg) is None
+    assert_state_equal(visible_state(spark, cfg), oracle_replay(tbl, collection_modes=MODES))
+
+
+def test_repair_span_respects_stop_at(spark, tmp_path):
+    """cfg.end_timestamp_ms (stop_at) freezes every key at the bound;
+    a repair must not resurrect post-stop history for the keys it
+    re-folds."""
+    import pyarrow.compute as pc
+
+    from scylla_cdc_rust_spark.model import TIME_MS
+    from scylla_cdc_rust_spark.plans.pipeline import repair_span
+
+    tbl = generate_log(LogSpec(n_events=4_000, n_docs=150, seed=17))
+    times = tbl.column(TIME_MS)
+    lo, hi = int(pc.min(times).as_py()), int(pc.max(times).as_py())
+    stop = lo + 3 * (hi - lo) // 4
+    cfg = make_cfg(str(tmp_path), tbl)
+    cfg.end_timestamp_ms = stop
+    replay(spark, cfg, MODES)
+
+    # repair a mid-span BELOW the stop; the re-fold must clamp at stop
+    a, b = lo + (hi - lo) // 3, lo + (hi - lo) // 2
+    repair_span(spark, cfg, a, b, MODES)
+    frozen = oracle_replay(
+        tbl.filter(pc.less(times, stop)), collection_modes=MODES
+    )
+    assert_state_equal(visible_state(spark, cfg), frozen)
+
+
+def test_delete_keys_preserves_manifest_schema(spark, tmp_path):
+    """delete_keys is schema-preserving at TABLE level: the committed
+    manifest must carry the previous manifest's schema, not one rebuilt
+    from the affected buckets' files (which may predate an evolved
+    column that only other buckets carry)."""
+    from pyspark.sql import functions as F
+
+    tbl = generate_log(LogSpec(n_events=3_000, n_docs=120, seed=3))
+    cfg = make_cfg(str(tmp_path), tbl)
+    replay(spark, cfg, MODES)
+    table = ParquetMergeTable(spark, cfg.target_path, num_buckets=8)
+    before = table._manifest()["schema"]
+    some = table.read_visible().select("doc_id").limit(5)
+    table.delete_keys(some)
+    assert table._manifest()["schema"] == before
