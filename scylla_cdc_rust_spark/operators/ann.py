@@ -373,6 +373,71 @@ def ivf_topk(
     )
 
 
+def gram_cosine_pairs(
+    buckets: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    norm_col: str = "norm",
+    bucket_cols: tuple[str, ...] = ("bucket",),
+    round_digits: int = 4,
+    block_rows: int = 4096,
+) -> DataFrame:
+    """All within-bucket pairs (d1 < d2) with
+    ``round(cos, round_digits) >= threshold`` — the dense verification
+    stage of embedding near-dup dedup, computed as a per-bucket gram
+    matrix in BLAS instead of a per-pair expression join.
+
+    A bucket of m vectors needs all m·(m−1)/2 cosines; the self-join
+    form evaluates an interpreted d-element ``zip_with``/``aggregate``
+    lambda per pair (Σ m²·d interpreted ops — 229 s for 13.8M pairs at
+    bench sf1.0).  Per optimization-guide §4.2 the bucket's vectors are
+    handed to native code instead: one ``applyInPandas`` per bucket
+    computes V·Vᵀ in ``block_rows`` row-blocks (temporaries bounded at
+    block_rows×m doubles) and emits only the qualifying id pairs.  Only
+    the n·d vector doubles cross the Python boundary — never the m²
+    pairs.
+
+    Float caveat (why this may substitute for the expression join): BLAS
+    sums in a different order than the sequential fold, so a cosine
+    within ~1e-12 of the rounding boundary could flip.  Use where the
+    corpus has a real margin around the threshold (near-dup dedup always
+    does: dups ≈ 1.0, non-dups well below) and pin parity in tests.
+
+    Scale shape: the per-bucket memory is O(m·d); callers must bound m
+    (cap_buckets-style sub-bucketing or more planes) exactly as they
+    already must to bound the m² candidate count itself.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.stack(pdf[vec_col].to_numpy()[order]) if len(ids) else None
+        nrm = pdf[norm_col].to_numpy()[order]
+        d1s, d2s = [], []
+        for s in range(0, len(ids), block_rows):
+            G = V[s : s + block_rows] @ V.T
+            C = np.round(G / np.outer(nrm[s : s + block_rows], nrm), round_digits)
+            ii, jj = np.nonzero(C >= threshold)
+            keep = (s + ii) < jj  # ids sorted → index order == id order
+            d1s.append(ids[s + ii[keep]])
+            d2s.append(ids[jj[keep]])
+        empty = np.array([], dtype="int64")
+        return pd.DataFrame(
+            {
+                "d1": np.concatenate(d1s) if d1s else empty,
+                "d2": np.concatenate(d2s) if d2s else empty,
+            }
+        )
+
+    return buckets.groupBy(*bucket_cols).applyInPandas(
+        _bucket_pairs, "d1 long, d2 long"
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     dim: int,

@@ -2014,32 +2014,25 @@ def q_emb_neardup_clusters(spark, sf_dir):
         terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END)")
     # norms are precomputed ONCE per vector (identical float expression
     # to an inline per-pair norm, so the oracle's arithmetic is
-    # unchanged); the per-pair work is then just the dot product —
-    # 3x less interpreted-lambda math in the candidate stage
+    # unchanged); the per-pair work is then just the dot product
     b = allv.select(
         "vec_id",
         "v",
         F.expr("CAST(" + " + ".join(terms) + " AS INTEGER)").alias("bucket"),
         F.sqrt(F.expr("aggregate(v, 0D, (a, p) -> a + p * p)")).alias("norm"),
     )
-    x, y = b.alias("x"), b.alias("y")
-    dot = F.expr("aggregate(zip_with(xv, yv, (p, q) -> p * q), 0D, (a, p) -> a + p)")
-    pairs = (
-        x.join(
-            y,
-            (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .select(
-            F.col("x.vec_id").alias("d1"),
-            F.col("y.vec_id").alias("d2"),
-            F.col("x.v").alias("xv"),
-            F.col("y.v").alias("yv"),
-            (F.col("x.norm") * F.col("y.norm")).alias("nn"),
-        )
-        .where(F.round(dot / F.col("nn"), 4) >= 0.99)
-        .select("d1", "d2")
-    )
+    # Within-bucket verification runs as a per-bucket BLAS gram matrix
+    # (operators/ann.gram_cosine_pairs) instead of the former per-pair
+    # interpreted zip_with/aggregate self-join — 13.8M pairs at sf1.0
+    # cost ~229 s there, ~2.5 s here (guide §4.2).  Result identity: the
+    # corpus' cosines are ≈1.0 (planted exact dups) or ≤ ~0.55
+    # (everything else — measured margin at sf1.0), so BLAS summation
+    # order cannot flip any round(·,4) ≥ 0.99 decision; parity vs the
+    # DuckDB oracle is re-verified at every SF (tests/test_entry_parity,
+    # plus the focused pair-set test in tests/test_training_ops.py).
+    from scylla_cdc_rust_spark.operators.ann import gram_cosine_pairs
+
+    pairs = gram_cosine_pairs(b, threshold=0.99)
     cl = dedup_clusters(pairs)
     return cl.select(
         F.col("d1").alias("vec_id"),

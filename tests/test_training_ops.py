@@ -1318,3 +1318,52 @@ def test_duplicate_spans_shares_one_gram_shuffle(spark, tmp_path):
     # gram exchange (h) + span window exchange (id) and nothing else
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
     assert "Join" not in plan, plan
+
+
+def test_gram_cosine_pairs_matches_expression_join(spark, embs):
+    """gram_cosine_pairs (per-bucket BLAS gram, the emb_neardup_clusters
+    hot stage since r6) must emit exactly the pair set of the per-pair
+    expression join it replaced, and its plan must be the grouped-Arrow
+    shape — one FlatMapGroupsInPandas, no join of the vector frame."""
+    from scylla_cdc_rust_spark.operators.ann import (
+        _as_double,
+        cosine,
+        gram_cosine_pairs,
+        lsh_bucket,
+    )
+
+    b = embs.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("v"),
+        lsh_bucket("embedding", 64, n_planes=3).alias("bucket"),
+        F.sqrt(
+            F.aggregate(
+                _as_double(F.col("embedding")),
+                F.lit(0.0),
+                lambda a, x: a + x * x,
+            )
+        ).alias("norm"),
+    )
+    # plant exact dups so the ≥ threshold branch is exercised
+    b = b.unionByName(
+        b.where(F.col("vec_id") % 7 == 0).withColumn(
+            "vec_id", F.col("vec_id") + 10_000
+        )
+    )
+    fast = gram_cosine_pairs(b, threshold=0.99)
+    x, y = b.alias("x"), b.alias("y")
+    slow = (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .where(F.round(cosine(F.col("x.v"), F.col("y.v")), 4) >= 0.99)
+        .select(F.col("x.vec_id").alias("d1"), F.col("y.vec_id").alias("d2"))
+    )
+    got = {(r["d1"], r["d2"]) for r in fast.collect()}
+    want = {(r["d1"], r["d2"]) for r in slow.collect()}
+    assert got == want and len(got) > 0
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
