@@ -256,12 +256,20 @@ class ParquetMergeTable:
         collection_modes: dict[str, str] | None = None,
         keys_hint: DataFrame | None = None,
         assume_all_buckets: bool = False,
+        affected_buckets: list[int] | None = None,
     ) -> dict:
         """Apply a fold_delta batch; rewrite only affected buckets.
 
         ``keys_hint``: optionally the (cheaper) pre-fold batch — affected
         buckets are derived from its key column with a column-pruned scan
         instead of materializing the delta twice.
+
+        ``affected_buckets``: the caller already knows the delta's bucket
+        set (``bucket_of(key, num_buckets)`` over the batch keys) — skip
+        the pruning scan entirely.  ``apply_window`` piggybacks this on
+        the per-stream lineage aggregate so one job serves both (a
+        separate pruning job used to pay the window's whole
+        decode+filter materialization, ~1.5 s per window at bench sf1.0).
 
         ``assume_all_buckets``: bulk mode — when a batch spans a whole
         epoch its keys hit essentially every bucket, so skip the pruning
@@ -274,6 +282,8 @@ class ParquetMergeTable:
         # the partition-pruning step of the MERGE
         if assume_all_buckets:
             affected = list(range(self.num_buckets))
+        elif affected_buckets is not None:
+            affected = [int(b) for b in affected_buckets]
         else:
             src = keys_hint if keys_hint is not None else delta
             affected = [

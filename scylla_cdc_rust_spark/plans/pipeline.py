@@ -64,13 +64,28 @@ def apply_window(
     bulk: bool = False,
     set_impl: str = "auto",
 ) -> int:
-    """One micro-batch cycle: decode → filter → fold → merge → checkpoint."""
+    """One micro-batch cycle: decode → filter → fold → merge → checkpoint.
+
+    Spark-job budget per window (guide §2.4 — remove passes outright):
+    exactly TWO actions.  Job 1 is one aggregate over the persisted
+    decode that yields BOTH the per-stream lineage counts and the
+    delta's affected-bucket set (`collect_set` of the merge bucket —
+    bounded at ``table.num_buckets`` values per group, map-side
+    combinable); job 2 is the COW merge write reading from the cache.
+    The former shape paid three actions — a bucket-pruning scan (which
+    bore the whole decode+filter materialization), the merge, and a
+    separate per-stream count — ~1.5 s of duplicated fixed cost per
+    window at bench sf1.0."""
+    from scylla_cdc_rust_spark.operators.merge import bucket_of
+
     decoded = decode(batch)
     if wm is not None:
         decoded = wm.filter_new(decoded)
-        # the window feeds two actions (merge + per-stream lineage
-        # counts): cache it so the log is scanned once per window, not
-        # twice (spills to disk if the window outgrows memory)
+    needs_stats = wm is not None or count_events
+    if needs_stats:
+        # the window feeds two actions (stats + merge): cache it so the
+        # log is scanned once per window, not twice (spills to disk if
+        # the window outgrows memory)
         decoded = decoded.persist()
     try:
         schema = CDCSchema.from_df_schema(decoded.schema)
@@ -79,28 +94,40 @@ def apply_window(
             decoded, key=key, collection_modes=collection_modes, schema=schema,
             set_impl=set_impl,
         )
+        n = 0
+        affected: list[int] | None = None
+        per_stream: list[tuple[bytes, int]] = []
+        if needs_stats:
+            aggs = [F.count(F.lit(1)).alias("n")]
+            if not bulk:
+                aggs.append(
+                    F.collect_set(
+                        bucket_of(F.col(key), table.num_buckets)
+                    ).alias("bks")
+                )
+            rows = decoded.groupBy(STREAM_ID).agg(*aggs).collect()
+            n = sum(int(r["n"]) for r in rows)
+            per_stream = [(bytes(r[STREAM_ID]), int(r["n"])) for r in rows]
+            if not bulk:
+                affected = sorted({int(b) for r in rows for b in r["bks"]})
         table.merge(
             delta,
             payload=payload,
             collection_modes=collection_modes,
-            keys_hint=decoded.select(key),
+            keys_hint=None if needs_stats else decoded.select(key),
             assume_all_buckets=bulk,
+            affected_buckets=affected,
         )
-        n = 0
         if wm is not None:
-            per_stream = decoded.groupBy(STREAM_ID).agg(F.count("*").alias("n")).collect()
-            n = sum(int(r["n"]) for r in per_stream)
             wm.commit(
-                [(bytes(r[STREAM_ID]), int(r["n"])) for r in per_stream],
+                per_stream,
                 window_end_ms=window_end_ms,
                 generation=generation,
                 batch_id=batch_id,
             )
-        elif count_events:
-            n = decoded.count()
         return n
     finally:
-        if wm is not None:
+        if needs_stats:
             decoded.unpersist()
 
 

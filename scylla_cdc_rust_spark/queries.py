@@ -86,8 +86,27 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
-def _derived_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _derived_log(
+    spark: SparkSession, sf_dir: str, fan_out: bool = False
+) -> DataFrame:
+    # fan_out: the testdata events table is ONE parquet file under the
+    # session's 16 MB split size, so a derived-log consumer bottlenecks
+    # on a 1-2-task scan doing its heavy map-side work (token-array
+    # builds, sha2, fold explodes) serially (guide §2.5 input skew:
+    # "repartition immediately after the read").  Heavy consumers (fold
+    # family, engine gates) opt in: the exchange moves only the raw
+    # event columns (~16 MB at sf1.0), hash-partitioned on the unique
+    # event_id so no sort-before-repartition is paid, and on a
+    # production-wide log it is a structural no-op.  Light consumers
+    # (decode stats, window scans) keep the shuffle-free plan — for them
+    # the exchange costs more than the serial map work.  Results are
+    # unaffected either way: every consumer aggregates by key/ord,
+    # never by input order.
     e = _events(spark, sf_dir)
+    if fan_out:
+        from scylla_cdc_rust_spark.session import ensure_min_parallelism
+
+        e = ensure_min_parallelism(e, by="event_id")
     log = e.select(
         (F.col("user_id") % 32).alias("sid"),
         F.col("user_id").cast("string").alias("doc_id"),
@@ -210,7 +229,7 @@ def q_cdc_fold_set(spark, sf_dir):
     """A7 (SURVEY §2.4): element-level set delta fold — adds from the
     value column, removes from cdc$deleted_elements, overwrite
     tombstones, element LWW (replicator_consumer.rs:415-469)."""
-    log = _derived_log(spark, sf_dir)
+    log = _derived_log(spark, sf_dir, fan_out=True)
     per_doc = log.groupBy("doc_id").agg(
         F.coalesce(F.max(F.when(F.col("base_op").isin(3, 4), F.col("ord"))), F.lit(-1)).alias("tomb"),
         F.coalesce(F.max(F.when(F.col("is_ovw"), F.col("ord"))), F.lit(-1)).alias("ctomb"),
@@ -373,7 +392,7 @@ def _derived_map_log(spark, sf_dir):
     derived deterministically from `events`."""
     from scylla_cdc_rust_spark import model as M
 
-    d = _derived_log(spark, sf_dir)
+    d = _derived_log(spark, sf_dir, fan_out=True)
     is_wr = F.col("base_op").isin(1, 2)
     ordc = F.col("ord")
     k1 = F.concat(F.lit("k"), (ordc % 5).cast("string"))
@@ -589,7 +608,7 @@ def q_cdc_image_pairs(spark, sf_dir):
     from scylla_cdc_rust_spark.functions.decode import decode
     from scylla_cdc_rust_spark.operators.images import attach_images
 
-    d = _derived_log(spark, sf_dir)
+    d = _derived_log(spark, sf_dir, fan_out=True)
 
     def shape(dd, op_col, ntok_col, batch_seq):
         return dd.select(
@@ -2311,7 +2330,7 @@ WHERE d.last_w > d.tomb
 def _cdc_shaped_log(spark, sf_dir):
     from scylla_cdc_rust_spark import model as M
 
-    return _derived_log(spark, sf_dir).select(
+    return _derived_log(spark, sf_dir, fan_out=True).select(
         F.sha2(F.col("sid").cast("string"), 256).cast("binary").alias(M.STREAM_ID),
         F.col("raw_op").cast("tinyint").alias(M.OPERATION),
         (F.col("ord") + F.lit(M.ORD_BASE_MS)).alias(M.TIME_MS),

@@ -54,18 +54,31 @@ def get_spark(
     return spark
 
 
-def ensure_min_parallelism(df, min_partitions: int | None = None):
+def ensure_min_parallelism(df, min_partitions: int | None = None,
+                           by: str | None = None):
     """Fan a small scan out to the session's cores.
 
     A single sub-split parquet file scans as ONE task, serializing any
     compute-heavy projection stacked on it (n-gram explodes spend
     seconds per MB).  When the input has fewer partitions than the
-    session's parallelism, repartition up — a round-robin shuffle of a
-    small input is microseconds; when the input is already wide (the
-    100 TB case: partitions >> cores) this is a structural no-op, so
-    production plans keep their scan-aligned, shuffle-free shape.
+    session's parallelism, repartition up — a shuffle of a small input
+    is microseconds; when the input is already wide (the 100 TB case:
+    partitions >> cores) this is a structural no-op, so production
+    plans keep their scan-aligned, shuffle-free shape.
+
+    ``by``: optional high-cardinality column to HASH-partition on
+    instead of round-robin.  Keyless ``repartition(n)`` first pays a
+    local sort of its input (``spark.sql.execution.sortBeforeRepartition``,
+    on since SPARK-23207, so retried tasks reproduce their row→partition
+    assignment); hashing a unique id column spreads rows just as evenly
+    with no sort and stays deterministic under task retry (optimization
+    guide §2.5).
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
+        if by is not None:
+            from pyspark.sql import functions as F
+
+            return df.repartition(target, F.col(by))
         return df.repartition(target)
     return df
