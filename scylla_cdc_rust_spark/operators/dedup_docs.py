@@ -161,6 +161,24 @@ def minhash_signatures(
     return h.groupBy(key).agg(*aggs)
 
 
+def _band_buckets(
+    sigs: DataFrame, key: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(key, band, bh) LSH banding rows shared by the candidate-pair and
+    star-edge generators."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+        h = F.lit(0).cast("long")
+        for c in cols:
+            h = (h * 31 + c) % M31
+        band_cols.append(F.struct(F.lit(b).alias("band"), h.alias("bh")))
+    return explode_nonnull(sigs, F.array(*band_cols), "bb", key).select(
+        key, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame,
     key: str = "doc_id",
@@ -174,17 +192,7 @@ def minhash_lsh_candidates(
     self-join on the bucket — cost is Σ bucket_size², never n²; buckets
     above ``max_bucket_size`` are salted into sub-buckets (cap_buckets)
     so one degenerate bucket cannot go quadratic."""
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
-        h = F.lit(0).cast("long")
-        for c in cols:
-            h = (h * 31 + c) % M31
-        band_cols.append(F.struct(F.lit(b).alias("band"), h.alias("bh")))
-    buckets = explode_nonnull(sigs, F.array(*band_cols), "bb", key).select(
-        key, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
-    )
+    buckets = _band_buckets(sigs, key, num_hashes, bands)
     join_cols = ["band", "bh"]
     if max_bucket_size:
         buckets = cap_buckets(buckets, join_cols, key, max_bucket_size)
@@ -197,6 +205,49 @@ def minhash_lsh_candidates(
         a.join(b_, cond)
         .select(F.col(f"a.{key}").alias("d1"), F.col(f"b.{key}").alias("d2"))
         .distinct()
+    )
+
+
+def minhash_lsh_star_edges(
+    sigs: DataFrame,
+    key: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Connectivity-equivalent edge set for clustering LSH candidates.
+
+    Every LSH bucket is a CLIQUE in the candidate-pair graph, and a
+    clique's connectivity is exactly captured by the star
+    member → min(bucket member).  When the candidates feed connected
+    components (``dedup_clusters``) — not a pairwise verifier — the
+    m·(m−1)/2 within-bucket pairs can therefore be replaced by m−1 star
+    edges per bucket with an IDENTICAL component result: O(Σ m) edges
+    instead of O(Σ m²) (4.84M pairs → ~150k edges on the bench corpus;
+    guide §1.2 step 1, fix the distributed algorithm first).
+
+    Same bucketing and hot-bucket salting as ``minhash_lsh_candidates``
+    (sub-bucket straddling behaves identically: neither path links
+    across sub-buckets of one capped mega-bucket).  Emitted as
+    (d1 = bucket min, d2 = member), d1 < d2; duplicates across bands are
+    left in — ``dedup_clusters`` canonicalizes once anyway, so a
+    distinct here would only add a shuffle.
+
+    The per-bucket min is a map-side-combinable groupBy, and the probe
+    join reuses the groupBy's hash partitioning — one exchange of the
+    slim (key, band, bh) stream, no broadcast of the bucket table (at
+    100 TB there are O(n·bands) buckets; broadcasting them would not
+    scale)."""
+    buckets = _band_buckets(sigs, key, num_hashes, bands)
+    join_cols = ["band", "bh"]
+    if max_bucket_size:
+        buckets = cap_buckets(buckets, join_cols, key, max_bucket_size)
+        join_cols.append("__sub")
+    mins = buckets.groupBy(*join_cols).agg(F.min(key).alias("__root"))
+    return (
+        buckets.join(mins, join_cols)
+        .where(F.col(key) != F.col("__root"))
+        .select(F.col("__root").alias("d1"), F.col(key).alias("d2"))
     )
 
 
@@ -340,39 +391,51 @@ def dedup_clusters(
     "Connected Components in MapReduce and Beyond"): every step is a
     groupBy-min plus an equi-join — no driver-side graph, no RDDs —
     and the edge set converges to per-component stars in O(log n)
-    rounds.  Each round materializes the edge frame via an eager
-    ``localCheckpoint`` (iterative DataFrames MUST truncate lineage:
-    re-planning the compounded plan grows super-linearly per round —
-    measured 3s → 30s by round 3 without it) and compares a
+    rounds.  Each round materializes the edge frame via a lazy
+    ``localCheckpoint`` driven by the convergence-signature aggregate —
+    one Spark action per round (iterative DataFrames MUST truncate
+    lineage: re-planning the compounded plan grows super-linearly per
+    round — measured 3s → 30s by round 3 without it) — and compares a
     (count, checksum) pair for convergence; at 100 TB the shuffled edge
     lists carry two longs per edge, never documents.  Pair inputs are
     deduped and self-loops dropped; nodes appearing in no pair are
     absent from the output (they are their own trivial clusters).
     """
 
-    e = (
-        pairs.select(F.col(d1).alias("u"), F.col(d2).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
-
     def _canon(edges: DataFrame) -> DataFrame:
         return edges.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).distinct()
 
-    def _signature(edges: DataFrame) -> tuple[int, int]:
-        # bit_xor: order-independent, overflow-free (edges are distinct,
-        # so xor-cancellation of duplicates cannot occur)
-        r = edges.agg(
+    # canonicalize + dedup the INPUT pairs in one pass: the former
+    # distinct-then-canon shape paid two consecutive shuffles of the
+    # full edge set before the first contraction round (the canonical
+    # distinct subsumes the raw one — 4.8M candidate edges at bench
+    # sf1.0 made that a measurable double scan)
+    e = _canon(
+        pairs.select(F.col(d1).alias("u"), F.col(d2).alias("v")).where(
+            F.col("u") != F.col("v")
+        )
+    )
+
+    def _checkpoint_and_sign(edges: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+        """Lineage-truncate + convergence signature in ONE action: a
+        LAZY localCheckpoint whose materialization is driven by the
+        signature aggregate.  The former eager-checkpoint-then-agg
+        shape ran two jobs per round — on converged-small edge sets the
+        rounds are pure scheduling latency, so halving the job count
+        halves the contraction tail.  bit_xor: order-independent,
+        overflow-free (edges are distinct, so xor-cancellation of
+        duplicates cannot occur)."""
+        ck = edges.localCheckpoint(eager=False)
+        r = ck.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("s"),
         ).first()
-        return r["n"], r["s"]
+        return ck, (r["n"], r["s"])
 
     global LAST_CONVERGENCE_ROUNDS
-    e = _canon(e).localCheckpoint(eager=True)
-    sig = _signature(e)
+    e, sig = _checkpoint_and_sign(e)
     for _round in range(max_iter):
         # large-star: for every node, link its LARGER neighbors to the
         # minimum of the closed neighborhood
@@ -398,12 +461,9 @@ def dedup_clusters(
             joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(joined.select("u", F.col("m").alias("v")))
         )
-        nxt = (
-            _canon(small)
-            .where(F.col("u") != F.col("v"))
-            .localCheckpoint(eager=True)
+        nxt, nsig = _checkpoint_and_sign(
+            _canon(small).where(F.col("u") != F.col("v"))
         )
-        nsig = _signature(nxt)
         e = nxt
         if nsig == sig:
             LAST_CONVERGENCE_ROUNDS = _round + 1

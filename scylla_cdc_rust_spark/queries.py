@@ -1462,14 +1462,29 @@ def q_doc_dedup_clusters_lsh(spark, sf_dir):
 
     from scylla_cdc_rust_spark.operators.dedup_docs import (
         dedup_clusters,
+        minhash_lsh_star_edges,
+        minhash_signatures,
         release_guard_caches,
     )
+    from scylla_cdc_rust_spark.session import ensure_min_parallelism
 
-    pairs = q_doc_lsh_candidates(spark, sf_dir)
+    d = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    sigs = minhash_signatures(d, num_hashes=8)
+    # Connectivity-equivalent star edges instead of the m²-per-bucket
+    # candidate pairs: every LSH bucket is a clique, so member →
+    # min(bucket member) stars yield the IDENTICAL component set while
+    # shuffling O(Σ m) edges instead of O(Σ m²) — 4.84M pairs → ~150k
+    # edges on the bench corpus, and the first star-contraction round no
+    # longer grinds through the clique blowup (equivalence pinned
+    # against the pair path by tests/test_training_ops.py and against
+    # the unchanged pair-replaying DuckDB oracle at every SF).
+    pairs = minhash_lsh_star_edges(
+        sigs, num_hashes=8, bands=4, max_bucket_size=10_000
+    )
     # dedup_clusters is EAGER (localCheckpoint per contraction round), so
-    # the candidate pairs — and the cap_buckets guard cache they depend
-    # on — have fully materialized by the time it returns; releasing the
-    # guard cache here is the documented lifecycle point
+    # the edges — and the cap_buckets guard cache they depend on — have
+    # fully materialized by the time it returns; releasing the guard
+    # cache here is the documented lifecycle point
     cl = dedup_clusters(pairs)
     release_guard_caches()
     return cl.select(

@@ -1367,3 +1367,40 @@ def test_gram_cosine_pairs_matches_expression_join(spark, embs):
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan
     assert "Join" not in plan
+
+
+def test_lsh_star_edges_equivalent_components(spark, docs):
+    """minhash_lsh_star_edges (the doc_dedup_clusters_lsh edge feed
+    since r6) must produce the same connected components as the full
+    m²-per-bucket candidate pairs: each bucket is a clique, and the
+    member → bucket-min star captures exactly its connectivity."""
+    from scylla_cdc_rust_spark.operators.dedup_docs import (
+        dedup_clusters,
+        minhash_lsh_candidates,
+        minhash_lsh_star_edges,
+        minhash_signatures,
+        release_guard_caches,
+    )
+
+    near = docs.limit(4).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = docs.unionByName(near)
+    sigs = minhash_signatures(corpus, num_hashes=8)
+    via_pairs = dedup_clusters(
+        minhash_lsh_candidates(sigs, num_hashes=8, bands=4)
+    )
+    release_guard_caches()
+    via_stars = dedup_clusters(
+        minhash_lsh_star_edges(sigs, num_hashes=8, bands=4)
+    )
+    release_guard_caches()
+    a = {(r["d1"], r["cluster_id"]) for r in via_pairs.collect()}
+    b = {(r["d1"], r["cluster_id"]) for r in via_stars.collect()}
+    assert a == b and len(a) > 0
+    # the star feed must never materialize a within-bucket self-join
+    plan = minhash_lsh_star_edges(sigs)._jdf.queryExecution().executedPlan().toString()
+    release_guard_caches()
+    assert "Generate" in plan  # banding explode present
