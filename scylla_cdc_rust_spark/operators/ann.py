@@ -328,6 +328,60 @@ class IVFQuantizer:
                         centroids=self.centroids)
 
 
+def assign_cells_np(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "cv",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Vectorized nearest-cell assignment, bit-identical to
+    ``_nearest_cells(vec, centroids, 1)[0]``.
+
+    The expression form evaluates k·dim interpreted lambda ops PER ROW
+    (the dominant cost of ``ivf_topk`` — 20k candidates × 8 cells × 64
+    dims at bench sf1.0); here each Arrow batch computes all distances
+    in numpy (guide §4.2).  Bit-exactness: the squared distance is
+    accumulated dimension-by-dimension in the SAME left-fold order as
+    Catalyst's 0.0-seeded ``aggregate`` (acc = (acc + mᵢ·mᵢ) with one
+    subtract, one multiply, one add per step — identical IEEE
+    roundings), and ties pick the lower cell index exactly like the
+    (distance, index) ``array_sort``.  So the assignment — and every
+    downstream result — is the same float-for-float."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    C = [[float(x) for x in c] for c in centroids]
+    dim = len(C[0])
+
+    def gen(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy())
+            best_d = None
+            best_j = None
+            for j, c in enumerate(C):
+                acc = np.zeros(n)
+                for i in range(dim):
+                    m = V[:, i] - c[i]
+                    acc = acc + m * m  # left fold: ((0+t1)+t2)+...
+                if best_d is None:
+                    best_d = acc
+                    best_j = np.zeros(n, dtype="int32")
+                else:
+                    better = acc < best_d  # strict: ties keep lower j
+                    best_d = np.where(better, acc, best_d)
+                    best_j = np.where(better, j, best_j).astype("int32")
+            pdf = pdf.copy()
+            pdf[out_col] = best_j
+            yield pdf
+
+    schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.IntegerType())])
+    return df.mapInPandas(gen, schema)
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -346,10 +400,13 @@ def ivf_topk(
         centroids = train_ivf_centroids(
             candidates, dim, n_centroids, id_col=id_col, vec_col=vec_col
         )
-    c = candidates.select(
-        F.col(id_col).alias("cid"),
-        _as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("cell", _nearest_cells(F.col("cv"), centroids, 1)[0])
+    c = assign_cells_np(
+        candidates.select(
+            F.col(id_col).alias("cid"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        ),
+        centroids,
+    )
     # explode_nonnull: plain explode's inferred filter would score every
     # centroid twice per query row (functions/generate_util.py)
     q = explode_nonnull(

@@ -126,7 +126,7 @@ def _contamination_stats(
     # carried alongside, exploded into the broadcast probe.  Small
     # inputs are fanned out first — the gram projection is the cost
     # center and must not serialize on one scan task (no-op at scale)
-    corpus = ensure_min_parallelism(corpus)
+    corpus = ensure_min_parallelism(corpus, by=id_col)
     # n_ngrams must be projected BELOW the explode: referencing size(gs)
     # next to explode(gs) makes the Generate carry the whole gram array
     # through every exploded row — O(grams²) bytes per document
@@ -239,7 +239,7 @@ def contamination_spans(
     bench = explode_nonnull(
         benchmark, token_ngram_hashes(tokens_col, n, hash_impl), "h"
     ).distinct()
-    corpus = ensure_min_parallelism(corpus)
+    corpus = ensure_min_parallelism(corpus, by=id_col)
     # posexplode keeps the gram's token position — the span coordinate
     hits = (
         corpus.select(
@@ -338,7 +338,7 @@ def duplicate_spans(
 
     from scylla_cdc_rust_spark.session import ensure_min_parallelism
 
-    corpus = ensure_min_parallelism(corpus)
+    corpus = ensure_min_parallelism(corpus, by=id_col)
     grams = corpus.select(
         F.col(id_col).alias("id"),
         F.posexplode_outer(

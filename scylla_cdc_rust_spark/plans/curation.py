@@ -156,7 +156,7 @@ def curation_funnel(
 
     # the tagged projection stacks quality scoring + digest + n-gram
     # hashing on the scan — fan small inputs out first (no-op at scale)
-    docs = ensure_min_parallelism(docs)
+    docs = ensure_min_parallelism(docs, by=id_col)
     n_shards = _resolve_n_shards(docs, n_shards)
     sampling_active = bool(sample_rates) or default_rate < 1.0
     idc = F.col(id_col)

@@ -56,6 +56,7 @@ def apply_window(
     wm: WatermarkStore | None,
     *,
     window_end_ms: int,
+    window_begin_ms: int | None = None,
     generation: int,
     batch_id: int,
     collection_modes: dict[str, str],
@@ -67,37 +68,52 @@ def apply_window(
     """One micro-batch cycle: decode → filter → fold → merge → checkpoint.
 
     Spark-job budget per window (guide §2.4 — remove passes outright):
-    exactly TWO actions.  Job 1 is one aggregate over the persisted
-    decode that yields BOTH the per-stream lineage counts and the
-    delta's affected-bucket set (`collect_set` of the merge bucket —
-    bounded at ``table.num_buckets`` values per group, map-side
-    combinable); job 2 is the COW merge write reading from the cache.
-    The former shape paid three actions — a bucket-pruning scan (which
-    bore the whole decode+filter materialization), the merge, and a
-    separate per-stream count — ~1.5 s of duplicated fixed cost per
-    window at bench sf1.0."""
+    exactly TWO actions.  Job 1 yields BOTH the per-stream lineage
+    counts and the delta's affected-bucket set (`collect_set` of the
+    merge bucket — bounded at ``table.num_buckets`` values per group,
+    map-side combinable); job 2 is the COW merge write.  The former
+    shape paid three actions — a bucket-pruning scan (which bore the
+    whole decode+filter materialization), the merge, and a separate
+    per-stream count — ~1.5 s of duplicated fixed cost per window at
+    bench sf1.0.
+
+    When the watermark filter is provably a no-op (``window_begin_ms``
+    at/above every stream floor — every forward window after the first;
+    ``filter_new`` returns its input unchanged), the stats job reads
+    only (stream, key) COLUMN-PRUNED from the batch — decode adds
+    columns, never drops rows, so the counts and bucket set are
+    identical — and the fold runs fused into the merge write with no
+    persist at all: nothing is materialized twice.  Only catch-up /
+    resume windows that straddle per-stream floors pay the
+    decode+filter cache."""
     from scylla_cdc_rust_spark.operators.merge import bucket_of
 
     decoded = decode(batch)
+    filtered = decoded
     if wm is not None:
-        decoded = wm.filter_new(decoded)
+        # window_begin_ms lets the store prove the filter is a no-op
+        # (every forward window after the first) and skip its join
+        filtered = wm.filter_new(decoded, min_time_ms=window_begin_ms)
     needs_stats = wm is not None or count_events
-    if needs_stats:
-        # the window feeds two actions (stats + merge): cache it so the
-        # log is scanned once per window, not twice (spills to disk if
-        # the window outgrows memory)
-        decoded = decoded.persist()
+    filter_active = filtered is not decoded
+    cache = needs_stats and filter_active
+    if cache:
+        # the filtered window feeds two actions (stats + merge): cache
+        # it so the decode+filter run once, not twice (spills to disk
+        # if the window outgrows memory)
+        filtered = filtered.persist()
     try:
-        schema = CDCSchema.from_df_schema(decoded.schema)
+        schema = CDCSchema.from_df_schema(filtered.schema)
         payload = [c for c in schema.payload if c != key]
         delta = fold_delta(
-            decoded, key=key, collection_modes=collection_modes, schema=schema,
+            filtered, key=key, collection_modes=collection_modes, schema=schema,
             set_impl=set_impl,
         )
         n = 0
         affected: list[int] | None = None
         per_stream: list[tuple[bytes, int]] = []
         if needs_stats:
+            stats_src = filtered if filter_active else batch.select(STREAM_ID, key)
             aggs = [F.count(F.lit(1)).alias("n")]
             if not bulk:
                 aggs.append(
@@ -105,7 +121,7 @@ def apply_window(
                         bucket_of(F.col(key), table.num_buckets)
                     ).alias("bks")
                 )
-            rows = decoded.groupBy(STREAM_ID).agg(*aggs).collect()
+            rows = stats_src.groupBy(STREAM_ID).agg(*aggs).collect()
             n = sum(int(r["n"]) for r in rows)
             per_stream = [(bytes(r[STREAM_ID]), int(r["n"])) for r in rows]
             if not bulk:
@@ -114,7 +130,7 @@ def apply_window(
             delta,
             payload=payload,
             collection_modes=collection_modes,
-            keys_hint=None if needs_stats else decoded.select(key),
+            keys_hint=None if needs_stats else filtered.select(key),
             assume_all_buckets=bulk,
             affected_buckets=affected,
         )
@@ -127,8 +143,8 @@ def apply_window(
             )
         return n
     finally:
-        if needs_stats:
-            decoded.unpersist()
+        if cache:
+            filtered.unpersist()
 
 
 def replay(
@@ -226,6 +242,7 @@ def replay(
                 table,
                 wm,
                 window_end_ms=end,
+                window_begin_ms=begin,
                 generation=ep,
                 batch_id=batch_id,
                 collection_modes=collection_modes,

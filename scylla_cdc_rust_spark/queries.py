@@ -2342,10 +2342,15 @@ WHERE d.last_w > d.tomb
 )
 
 
-def _cdc_shaped_log(spark, sf_dir):
+def _cdc_shaped_log(spark, sf_dir, fan_out=False):
+    # fan_out default False: consumers whose dominant cost is the
+    # heavy map-side shaping opt in (see _derived_log); the
+    # changelog gate and bench.py's changelog split measured ~1 s
+    # SLOWER with the exchange (interleaved A/B), so they keep the
+    # shuffle-free plan.
     from scylla_cdc_rust_spark import model as M
 
-    return _derived_log(spark, sf_dir, fan_out=True).select(
+    return _derived_log(spark, sf_dir, fan_out=fan_out).select(
         F.sha2(F.col("sid").cast("string"), 256).cast("binary").alias(M.STREAM_ID),
         F.col("raw_op").cast("tinyint").alias(M.OPERATION),
         (F.col("ord") + F.lit(M.ORD_BASE_MS)).alias(M.TIME_MS),
@@ -2369,7 +2374,7 @@ def q_engine_consumer_replay(spark, sf_dir):
     from scylla_cdc_rust_spark.functions.decode import decode
     from scylla_cdc_rust_spark.operators.consumer_api import replay_consumer_fold
 
-    log = _cdc_shaped_log(spark, sf_dir)
+    log = _cdc_shaped_log(spark, sf_dir, fan_out=True)
     out = replay_consumer_fold(decode(log), collection_modes={"tokens": "set"})
     return out.select(
         "doc_id", _tokens_csv(), "n_tok", "source",
@@ -2384,7 +2389,7 @@ def q_engine_salted_replay(spark, sf_dir):
     from scylla_cdc_rust_spark.operators.fold import finalize
     from scylla_cdc_rust_spark.operators.salt import fold_delta_salted
 
-    log = _cdc_shaped_log(spark, sf_dir)
+    log = _cdc_shaped_log(spark, sf_dir, fan_out=True)
     delta = fold_delta_salted(
         decode(log), salt_factor=8, collection_modes={"tokens": "list"}
     )
@@ -2969,7 +2974,7 @@ def q_engine_replay_lineage(spark, sf_dir):
         WatermarkStore,
     )
 
-    log = _cdc_shaped_log(spark, sf_dir)
+    log = _cdc_shaped_log(spark, sf_dir, fan_out=True)
     b = log.agg(
         F.min(F.col(M.TIME_MS)).alias("lo"), F.max(F.col(M.TIME_MS)).alias("hi")
     ).collect()[0]
@@ -3048,7 +3053,7 @@ def q_engine_schema_evolution(spark, sf_dir):
     from scylla_cdc_rust_spark.operators.merge import ParquetMergeTable
     from scylla_cdc_rust_spark.plans.pipeline import replay
 
-    log = _cdc_shaped_log(spark, sf_dir)
+    log = _cdc_shaped_log(spark, sf_dir, fan_out=True)
     cut = int(
         log.agg(
             ((F.min(M.TIME_MS) + F.max(M.TIME_MS)) / 2).cast("long")
@@ -3163,7 +3168,7 @@ def q_engine_streaming_replay(spark, sf_dir):
         run_streaming_epochs,
     )
 
-    log = _cdc_shaped_log(spark, sf_dir)
+    log = _cdc_shaped_log(spark, sf_dir, fan_out=True)
     b = log.agg(
         F.min(F.col(M.TIME_MS)).alias("lo"), F.max(F.col(M.TIME_MS)).alias("hi")
     ).first()
@@ -3247,7 +3252,7 @@ def q_engine_repair_replay(spark, sf_dir):
     from scylla_cdc_rust_spark.operators.merge import ParquetMergeTable
     from scylla_cdc_rust_spark.plans.pipeline import repair_span, replay
 
-    log = _cdc_shaped_log(spark, sf_dir)
+    log = _cdc_shaped_log(spark, sf_dir, fan_out=True)
     b = log.agg(
         F.min(F.col(M.TIME_MS)).alias("lo"), F.max(F.col(M.TIME_MS)).alias("hi")
     ).first()

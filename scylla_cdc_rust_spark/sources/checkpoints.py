@@ -122,10 +122,19 @@ class WatermarkStore:
 
     # ---------- exactly-once filter ----------
 
-    def filter_new(self, decoded: DataFrame) -> DataFrame:
+    def filter_new(
+        self, decoded: DataFrame, min_time_ms: int | None = None
+    ) -> DataFrame:
         """Drop events already covered by a stream's watermark (the
         event-level exactly-once guard; reference analog: dedup vs
-        already-applied, replication_tests.rs:93-98)."""
+        already-applied, replication_tests.rs:93-98).
+
+        ``min_time_ms``: a lower bound the caller can prove for every
+        row (a window's begin).  When it is at/above every saved stream
+        floor, no row can be dropped, so the broadcast build + join are
+        skipped outright — which is every forward-marching window after
+        the first (the join only earns its cost on resume/catch-up
+        windows that straddle per-stream floors)."""
         state = self._load_state()
         rows = [
             (k, v[1])
@@ -133,6 +142,8 @@ class WatermarkStore:
             if k != GENERATION_SENTINEL and v[1] is not None
         ]
         if not rows:
+            return decoded
+        if min_time_ms is not None and min_time_ms >= max(r[1] for r in rows):
             return decoded
         from scylla_cdc_rust_spark.model import STREAM_ID, TIME_MS
 

@@ -112,6 +112,7 @@ class StreamingReplay:
                 self.table,
                 self.wm,
                 window_end_ms=end,
+                window_begin_ms=begin,
                 generation=self.generation,
                 batch_id=self.batch_id,
                 collection_modes=self.modes,
