@@ -400,10 +400,18 @@ def ivf_topk(
         centroids = train_ivf_centroids(
             candidates, dim, n_centroids, id_col=id_col, vec_col=vec_col
         )
+    from scylla_cdc_rust_spark.session import ensure_min_parallelism
+
+    # fan the candidate scan out below the Python assignment so the
+    # mapInPandas runs on every core, not the input's 1-2 splits
+    # (structural no-op on a wide index)
     c = assign_cells_np(
-        candidates.select(
-            F.col(id_col).alias("cid"),
-            _as_double(F.col(vec_col)).alias("cv"),
+        ensure_min_parallelism(
+            candidates.select(
+                F.col(id_col).alias("cid"),
+                _as_double(F.col(vec_col)).alias("cv"),
+            ),
+            by="cid",
         ),
         centroids,
     )

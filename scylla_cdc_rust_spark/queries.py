@@ -1875,13 +1875,25 @@ FROM src GROUP BY doc_id
 """
 
 
-def _doc_tokens(spark, sf_dir):
+def _doc_tokens(spark, sf_dir, fan_out=False):
     """documents → (doc_id, tokens array<int>): the deterministic
     text→token derivation shared by the tok_* queries (portable word
-    hash mod 32000 — replayed identically in every oracle)."""
+    hash mod 32000 — replayed identically in every oracle).
+
+    ``fan_out``: hash-repartition the RAW (doc_id, text) scan before
+    the per-word md5 derivation — the repartition must sit BELOW the
+    projection or the single scan task still does all the hashing
+    (guide §2.5; same structure as ``_derived_log``)."""
     from scylla_cdc_rust_spark.functions.text import word_hash
 
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    if fan_out:
+        from scylla_cdc_rust_spark.session import ensure_min_parallelism
+
+        d = ensure_min_parallelism(d, by="doc_id")
+    return d.select(
         "doc_id",
         F.transform(
             F.split("text", " "), lambda w: word_hash(w) % 32000
@@ -1910,7 +1922,7 @@ def q_tok_ngram_contamination(spark, sf_dir):
     )
     from scylla_cdc_rust_spark.operators.sampling import sample_hash
 
-    d = _doc_tokens(spark, sf_dir)
+    d = _doc_tokens(spark, sf_dir, fan_out=True)
     is_bench = sample_hash("doc_id", 16) == 0
     out = token_ngram_contamination(
         corpus=d.where(~is_bench), benchmark=d.where(is_bench), n=3
@@ -2032,7 +2044,18 @@ def q_emb_neardup_clusters(spark, sf_dir):
 
     from scylla_cdc_rust_spark.operators.dedup_docs import dedup_clusters
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    from scylla_cdc_rust_spark.session import ensure_min_parallelism
+
+    # fan the single-split scan out below the (heavy) hyperplane/norm
+    # projections — 16 sign-plane dots + a 64-term norm per vector
+    # otherwise run on 1-2 scan tasks (guide §2.5); no-op at scale
+    raw = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        ),
+        by="vec_id",
+    )
+    e = raw.select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
     )
     planted = e.where(F.col("vec_id") % 20 == 0).select(
@@ -2733,7 +2756,10 @@ def q_tok_chunking(spark, sf_dir):
         chunk_tokens,
     )
 
-    c = chunk_tokens(_doc_tokens(spark, sf_dir), max_len=32, stride=24)
+    # the token derivation (one md5 per word) otherwise serializes on
+    # the testdata's single parquet split (guide §2.5); fan_out hash-
+    # repartitions the raw scan below the derivation, no-op at scale
+    c = chunk_tokens(_doc_tokens(spark, sf_dir, fan_out=True), max_len=32, stride=24)
     return c.select(
         "doc_id",
         "chunk_idx",
@@ -2772,7 +2798,8 @@ def q_tok_vocab_topk(spark, sf_dir):
     order, so it is deterministic and oracle-checkable."""
     from scylla_cdc_rust_spark.operators.vocab import vocab_topk
 
-    return vocab_topk(_doc_tokens(spark, sf_dir), k=256)
+    # same single-split fan-out rationale as q_tok_chunking
+    return vocab_topk(_doc_tokens(spark, sf_dir, fan_out=True), k=256)
 
 
 SQL_TOK_VOCAB_TOPK = f"""
@@ -2856,7 +2883,7 @@ def q_tok_contamination_spans(spark, sf_dir):
     )
     from scylla_cdc_rust_spark.operators.sampling import sample_hash
 
-    d = _doc_tokens(spark, sf_dir)
+    d = _doc_tokens(spark, sf_dir, fan_out=True)
     is_bench = sample_hash("doc_id", 16) == 0
     return contamination_spans(
         corpus=d.where(~is_bench), benchmark=d.where(is_bench), n=3
@@ -2911,7 +2938,7 @@ def q_tok_dup_spans(spark, sf_dir):
     groupBy+self-join; plan shape pinned in tests)."""
     from scylla_cdc_rust_spark.operators.decontam import duplicate_spans
 
-    return duplicate_spans(_doc_tokens(spark, sf_dir), n=5)
+    return duplicate_spans(_doc_tokens(spark, sf_dir, fan_out=True), n=5)
 
 
 SQL_TOK_DUP_SPANS = f"""
