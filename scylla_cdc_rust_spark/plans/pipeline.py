@@ -325,6 +325,21 @@ def repair_span(
 
     if cfg.end_timestamp_ms is not None:
         end_ms = min(end_ms, cfg.end_timestamp_ms)
+    # a crashed repair's journal may only be cleared by re-running the
+    # RECORDED span (or a superset): repairing a disjoint/narrower span
+    # would overwrite the journal and, on completion, remove it while
+    # the earlier span's keys are still deleted or partially folded —
+    # silent data loss defeating the crash-safety bracket (ADVICE r5)
+    prev = pending_repair(cfg)
+    if prev is not None and not (
+        begin_ms <= prev["begin_ms"] and end_ms >= prev["end_ms"]
+    ):
+        raise RuntimeError(
+            "a crashed repair_span left the target inconsistent for span "
+            f"[{prev['begin_ms']}, {prev['end_ms']}); this call covers only "
+            f"[{begin_ms}, {end_ms}) — re-run with the recorded span (or a "
+            "superset) so its reset keys are re-folded"
+        )
     if end_ms <= begin_ms:
         return 0
     collection_modes = collection_modes or dict(cfg.collection_modes)

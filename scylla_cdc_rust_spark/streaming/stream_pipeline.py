@@ -131,28 +131,56 @@ class StreamingReplay:
 
     def _on_batch(self, batch_df, _sid: int) -> None:
         aggs = [F.max(TIME_MS).alias("mx"), F.min(TIME_MS).alias("mn")]
+        src = batch_df
         if self.applied_end_ms is not None:
             # genuinely-late rows: below a window end APPLIED THIS RUN
-            # but not below the checkpoint floor (those are presumed
-            # already applied — see case (3) below).  Counted per batch
-            # rather than inferred from the batch min, so one old
-            # redelivered row cannot shield late rows above the resume
-            # floor from detection.
+            # but not below THEIR OWN STREAM's saved floor (those are
+            # presumed already applied — filter_new would drop them; see
+            # case (3) below).  Counted per batch rather than inferred
+            # from the batch min, so one old redelivered row cannot
+            # shield late rows from detection.  The floor is per stream,
+            # not the single min over streams: after a lost checkpoint
+            # with skewed streams, a rediscovered segment legitimately
+            # redelivers an advanced stream's rows that sit above the
+            # MIN floor but below that stream's own floor — flagging
+            # those was a spurious hard failure on a valid resume
+            # (ADVICE r5; observed as a flaky late-guard trip in the
+            # continuous-tailing test's drain run).
             lo_bound = (
                 self.resume_floor_ms
                 if self.resume_floor_ms is not None
                 else -(1 << 62)
             )
+            from scylla_cdc_rust_spark.model import STREAM_ID
+
+            own_floor = F.lit(lo_bound)
+            floors = self.wm.stream_floors()
+            # narrow frames without the stream column (diagnostic use)
+            # keep the coarser single-bound check
+            if floors and STREAM_ID in batch_df.columns:
+                fdf = self.spark.createDataFrame(
+                    [(sid, int(t)) for sid, t in floors.items()],
+                    "__sid binary, __floor long",
+                )
+                src = batch_df.join(
+                    F.broadcast(fdf),
+                    batch_df[STREAM_ID] == fdf["__sid"],
+                    "left",
+                )
+                # a stream with no saved floor was never applied: its
+                # rows below the applied end are genuinely late (bounded
+                # below by the global resume floor, as before)
+                own_floor = F.coalesce(F.col("__floor"), F.lit(lo_bound))
             aggs.append(
                 F.sum(
                     F.when(
                         (F.col(TIME_MS) < F.lit(self.applied_end_ms))
-                        & (F.col(TIME_MS) >= F.lit(lo_bound)),
+                        & (F.col(TIME_MS) >= own_floor),
                         1,
                     ).otherwise(0)
                 ).alias("n_late")
             )
-        r = batch_df.agg(*aggs).collect()[0]
+        r = src.agg(*aggs).collect()[0]
         if r["mx"] is None:
             return
         if self.frontier_ms is None or r["mx"] > self.frontier_ms:
