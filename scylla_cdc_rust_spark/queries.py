@@ -2389,6 +2389,49 @@ def _cdc_shaped_log(spark, sf_dir, fan_out=False):
     )
 
 
+def _shaped_log_time_bounds(spark, sf_dir):
+    """(min, max) of the derived CDC log's ``cdc_time_ms`` WITHOUT a
+    Spark job.  ``_derived_log`` sets ord = event_id verbatim and
+    ``_cdc_shaped_log`` sets TIME_MS = ord + ORD_BASE_MS, so the bounds
+    are the events parquet's exact int64 footer statistics shifted by
+    the constant — the same driver-side metadata read the pipeline's
+    own ``time_bounds`` uses (sources/log_source.py).  The per-gate
+    Spark aggregate this replaces paid the fan-out exchange of the full
+    event stream (~0.5 s per gate invocation at 1M events) to compute
+    two numbers the footers already hold.  Falls back to that aggregate
+    when stats are absent, so the values are identical by construction
+    either way."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata
+        idx = next(
+            i
+            for i in range(md.schema.num_columns)
+            if md.schema.column(i).path == "event_id"
+        )
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError("row group without event_id stats")
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            raise ValueError("no row groups")
+        from scylla_cdc_rust_spark.model import ORD_BASE_MS
+
+        return int(lo) + ORD_BASE_MS, int(hi) + ORD_BASE_MS
+    except Exception:  # noqa: BLE001 — any surprise falls back to the agg
+        from scylla_cdc_rust_spark import model as M
+
+        b = _cdc_shaped_log(spark, sf_dir).agg(
+            F.min(F.col(M.TIME_MS)).alias("lo"),
+            F.max(F.col(M.TIME_MS)).alias("hi"),
+        ).first()
+        return int(b["lo"]), int(b["hi"])
+
+
 def q_engine_consumer_replay(spark, sf_dir):
     """The reference-shaped sequential Consumer path (operators/
     consumer_api.py: repartition by stream → in-order mapInPandas) run
@@ -2637,9 +2680,11 @@ def q_engine_changelog(spark, sf_dir):
     from scylla_cdc_rust_spark.operators.merge import ParquetMergeTable
 
     log = _cdc_shaped_log(spark, sf_dir)
-    cut = log.agg(
-        ((F.min(M.TIME_MS) + F.max(M.TIME_MS)) / 2).cast("long")
-    ).first()[0]
+    # footer-stat bounds: identical to the former Spark aggregate's
+    # ((min + max) / 2) double-division-then-truncate, computed without
+    # a job (_shaped_log_time_bounds; both operands are exact in float64)
+    _lo, _hi = _shaped_log_time_bounds(spark, sf_dir)
+    cut = int((_lo + _hi) / 2)
     table = ParquetMergeTable(
         spark, tempfile.mkdtemp(prefix="engine_changelog_"), num_buckets=8
     )
@@ -2993,7 +3038,6 @@ def q_engine_replay_lineage(spark, sf_dir):
     import shutil
     import tempfile
 
-    from scylla_cdc_rust_spark import model as M
     from scylla_cdc_rust_spark.config import CDCPipelineConfig
     from scylla_cdc_rust_spark.plans.pipeline import replay
     from scylla_cdc_rust_spark.sources.checkpoints import (
@@ -3002,10 +3046,9 @@ def q_engine_replay_lineage(spark, sf_dir):
     )
 
     log = _cdc_shaped_log(spark, sf_dir, fan_out=True)
-    b = log.agg(
-        F.min(F.col(M.TIME_MS)).alias("lo"), F.max(F.col(M.TIME_MS)).alias("hi")
-    ).collect()[0]
-    lo, hi = int(b["lo"]), int(b["hi"]) + 1
+    # bounds from parquet footer stats — no Spark job, identical values
+    lo, hi = _shaped_log_time_bounds(spark, sf_dir)
+    hi += 1
     win = (hi - lo + 3) // 4  # exactly 4 aligned window slots
     d = tempfile.mkdtemp(prefix="lineage_q_")
     try:
@@ -3081,11 +3124,10 @@ def q_engine_schema_evolution(spark, sf_dir):
     from scylla_cdc_rust_spark.plans.pipeline import replay
 
     log = _cdc_shaped_log(spark, sf_dir, fan_out=True)
-    cut = int(
-        log.agg(
-            ((F.min(M.TIME_MS) + F.max(M.TIME_MS)) / 2).cast("long")
-        ).first()[0]
-    )
+    # footer-stat bounds; int((lo+hi)/2) reproduces the former Spark
+    # double-division-then-cast exactly (operands exact in float64)
+    _lo, _hi = _shaped_log_time_bounds(spark, sf_dir)
+    cut = int((_lo + _hi) / 2)
     lang = F.concat(
         F.lit("l"), (F.col("doc_id").cast("long") % 4).cast("string")
     )
@@ -3196,10 +3238,8 @@ def q_engine_streaming_replay(spark, sf_dir):
     )
 
     log = _cdc_shaped_log(spark, sf_dir, fan_out=True)
-    b = log.agg(
-        F.min(F.col(M.TIME_MS)).alias("lo"), F.max(F.col(M.TIME_MS)).alias("hi")
-    ).first()
-    lo, hi = int(b["lo"]), int(b["hi"])
+    # bounds from parquet footer stats — no Spark job, identical values
+    lo, hi = _shaped_log_time_bounds(spark, sf_dir)
     cut = (lo + hi) // 2
     span = hi + 1 - lo
     d = tempfile.mkdtemp(prefix="streaming_q_")
@@ -3280,10 +3320,8 @@ def q_engine_repair_replay(spark, sf_dir):
     from scylla_cdc_rust_spark.plans.pipeline import repair_span, replay
 
     log = _cdc_shaped_log(spark, sf_dir, fan_out=True)
-    b = log.agg(
-        F.min(F.col(M.TIME_MS)).alias("lo"), F.max(F.col(M.TIME_MS)).alias("hi")
-    ).first()
-    lo, hi = int(b["lo"]), int(b["hi"])
+    # bounds from parquet footer stats — no Spark job, identical values
+    lo, hi = _shaped_log_time_bounds(spark, sf_dir)
     a = lo + 2 * (hi + 1 - lo) // 5
     z = lo + 3 * (hi + 1 - lo) // 5  # the held-back slice: [a, z)
     in_slice = (F.col(M.TIME_MS) >= a) & (F.col(M.TIME_MS) < z)
