@@ -3139,8 +3139,19 @@ def q_engine_schema_evolution(spark, sf_dir):
     )
     d = tempfile.mkdtemp(prefix="schema_evo_q_")
     try:
-        e0.write.parquet(os.path.join(d, "log", "epoch=0"))
-        e1.write.parquet(os.path.join(d, "log", "epoch=1"))
+        # the two generation dirs are independent writes over disjoint
+        # row sets — submit both and let the second back-fill the
+        # first's task tail (guide §2.6); wall = max, not sum
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f0 = pool.submit(
+                e0.write.parquet, os.path.join(d, "log", "epoch=0")
+            )
+            f1 = pool.submit(
+                e1.write.parquet, os.path.join(d, "log", "epoch=1")
+            )
+            f0.result(), f1.result()
         cfg = CDCPipelineConfig(
             log_path=os.path.join(d, "log"),
             target_path=os.path.join(d, "target"),
@@ -3244,12 +3255,20 @@ def q_engine_streaming_replay(spark, sf_dir):
     span = hi + 1 - lo
     d = tempfile.mkdtemp(prefix="streaming_q_")
     try:
-        log.where(F.col(M.TIME_MS) <= cut).repartition(3).write.parquet(
-            os.path.join(d, "log", "epoch=0")
-        )
-        log.where(F.col(M.TIME_MS) > cut).repartition(3).write.parquet(
-            os.path.join(d, "log", "epoch=1")
-        )
+        # independent generation-dir writes over disjoint row sets —
+        # run both concurrently so the wall cost is max, not sum (§2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f0 = pool.submit(
+                log.where(F.col(M.TIME_MS) <= cut).repartition(3)
+                .write.parquet, os.path.join(d, "log", "epoch=0")
+            )
+            f1 = pool.submit(
+                log.where(F.col(M.TIME_MS) > cut).repartition(3)
+                .write.parquet, os.path.join(d, "log", "epoch=1")
+            )
+            f0.result(), f1.result()
         cfg = CDCPipelineConfig(
             log_path=os.path.join(d, "log"),
             target_path=os.path.join(d, "target"),
