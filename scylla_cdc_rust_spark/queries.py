@@ -2688,17 +2688,34 @@ def q_engine_changelog(spark, sf_dir):
     table = ParquetMergeTable(
         spark, tempfile.mkdtemp(prefix="engine_changelog_"), num_buckets=8
     )
-    for half in (
-        log.where(F.col(M.TIME_MS) <= cut),
-        log.where(F.col(M.TIME_MS) > cut),
-    ):
-        delta = fold_delta(decode(half), collection_modes={"tokens": "set"})
-        table.merge(
-            delta,
-            payload=["tokens", "n_tok", "source"],
-            collection_modes={"tokens": "set"},
-            assume_all_buckets=True,
+    # the two MERGES are consecutive COW versions and must stay ordered,
+    # but the two half-FOLDS only read the log — materialize both deltas
+    # concurrently (persist + count on a 2-thread pool, guide §2.6) so
+    # the second fold hides behind the first fold+merge instead of
+    # serializing after it; the merges then run from the cached deltas
+    from concurrent.futures import ThreadPoolExecutor
+
+    deltas = [
+        fold_delta(decode(half), collection_modes={"tokens": "set"}).persist()
+        for half in (
+            log.where(F.col(M.TIME_MS) <= cut),
+            log.where(F.col(M.TIME_MS) > cut),
         )
+    ]
+    try:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(d.count) for d in deltas]:
+                f.result()
+        for delta in deltas:
+            table.merge(
+                delta,
+                payload=["tokens", "n_tok", "source"],
+                collection_modes={"tokens": "set"},
+                assume_all_buckets=True,
+            )
+    finally:
+        for d in deltas:
+            d.unpersist()
     ch = table.read_changes(1, 2)
     return ch.select(
         "doc_id", _tokens_csv(), "n_tok", "source",
@@ -3356,8 +3373,22 @@ def q_engine_repair_replay(spark, sf_dir):
             target_num_buckets=8,
             collection_modes={"tokens": "list"},
         )
-        replay(spark, cfg)  # advances watermarks past the gap
-        log.where(in_slice).write.mode("append").parquet(ep)  # arrives late
+        # pre-materialize the held-back slice CONCURRENTLY with the
+        # replay (guide §2.6): computing its rows is invisible to the
+        # scenario — the slice only "arrives" when the append lands in
+        # the log dir AFTER replay, exactly as before; the append then
+        # writes from cache instead of re-deriving the log
+        from concurrent.futures import ThreadPoolExecutor
+
+        late = log.where(in_slice).persist()
+        try:
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                warm = pool.submit(late.count)
+                replay(spark, cfg)  # advances watermarks past the gap
+                warm.result()
+            late.write.mode("append").parquet(ep)  # arrives late
+        finally:
+            late.unpersist()
         repair_span(spark, cfg, a, z)
         out = ParquetMergeTable(
             spark, cfg.target_path, num_buckets=8
