@@ -360,13 +360,22 @@ def repair_span(
     if prev is not None and not (
         begin_ms <= prev["begin_ms"] and end_ms >= prev["end_ms"]
     ):
+        hint = (
+            f" (with collection_modes={prev['collection_modes']})"
+            if prev.get("collection_modes") is not None
+            else ""
+        )
         raise RuntimeError(
             "a crashed repair_span left the target inconsistent for span "
             f"[{prev['begin_ms']}, {prev['end_ms']}); this call covers only "
             f"[{begin_ms}, {end_ms}) — re-run with the recorded span (or a "
-            "superset) so its reset keys are re-folded"
+            f"superset){hint} so its reset keys are re-folded.  Note that "
+            "cfg.end_timestamp_ms clamps the span BEFORE this check: if it "
+            "was lowered since the crash, restore it (or pass a wider end) "
+            "so the clamped span still covers the recorded one"
         )
     if end_ms <= begin_ms:
+        _refuse_empty_recovery(prev, begin_ms, end_ms)
         return 0
     collection_modes = collection_modes or dict(cfg.collection_modes)
     table = ParquetMergeTable(
@@ -413,6 +422,7 @@ def repair_span(
             ).select(key)
         )
     if not span_parts:
+        _refuse_empty_recovery(prev, begin_ms, end_ms)
         return 0
     span_keys = span_parts[0]
     for part in span_parts[1:]:
@@ -421,6 +431,7 @@ def repair_span(
     journal = os.path.join(cfg.target_path, REPAIR_JOURNAL)
     try:
         if span_keys.isEmpty():
+            _refuse_empty_recovery(prev, begin_ms, end_ms)
             return 0
         with open(journal, "w") as f:
             json.dump(
@@ -428,6 +439,9 @@ def repair_span(
                     "begin_ms": begin_ms,
                     "end_ms": end_ms,
                     "started_at_ms": int(time.time() * 1000),
+                    # recorded so a recovery re-run can reproduce the
+                    # exact fold semantics of the crashed attempt
+                    "collection_modes": collection_modes,
                 },
                 f,
             )
@@ -462,6 +476,28 @@ def repair_span(
 REPAIR_JOURNAL = "_REPAIR_INPROGRESS"
 
 
+def _refuse_empty_recovery(
+    prev: dict | None, begin_ms: int, end_ms: int
+) -> None:
+    """A recovery re-run (a journal exists) that finds NO span events
+    cannot verify the crashed repair's reset keys were re-folded, so a
+    silent ``return 0`` would leave the journal in place and the next
+    attempt would prescribe the same no-op forever (ADVICE r5).  Fail
+    with the actual ways out instead."""
+    if prev is None:
+        return
+    raise RuntimeError(
+        "recovery re-run found no events in the clamped span "
+        f"[{begin_ms}, {end_ms}) while the crash journal records "
+        f"[{prev['begin_ms']}, {prev['end_ms']}); the journal was left in "
+        "place because the reset keys may still be missing from the "
+        "target.  Either restore the log segments holding the span's "
+        "events (then re-run repair_span), raise cfg.end_timestamp_ms if "
+        "it was lowered since the crash, or — only if losing the affected "
+        "keys is intended — delete the journal file manually"
+    )
+
+
 def pending_repair(cfg: CDCPipelineConfig) -> dict | None:
     """The crashed repair's journal ({begin_ms, end_ms, started_at_ms}),
     or None.  Recovery: re-run ``repair_span`` with the recorded span."""
@@ -478,8 +514,13 @@ def pending_repair(cfg: CDCPipelineConfig) -> dict | None:
 def _require_no_pending_repair(cfg: CDCPipelineConfig) -> None:
     j = pending_repair(cfg)
     if j is not None:
+        modes = (
+            f", collection_modes={j['collection_modes']}"
+            if j.get("collection_modes") is not None
+            else ""
+        )
         raise RuntimeError(
             "a crashed repair_span left the target inconsistent "
             f"(journal: {j}); re-run repair_span(spark, cfg, "
-            f"{j['begin_ms']}, {j['end_ms']}) before replaying"
+            f"{j['begin_ms']}, {j['end_ms']}{modes}) before replaying"
         )

@@ -66,8 +66,14 @@ class StreamingReplay:
         )
         self.frontier_ms: int | None = None  # max event time seen
         self.floor_ms: int | None = None  # next window begin
-        #: checkpoint-derived lower bound (None when starting fresh)
-        self.resume_floor_ms: int | None = None
+        #: checkpoint-derived lower bound (None when starting fresh).
+        #: Pre-loaded from the saved floors so the very first resume
+        #: batch already counts absorbed below-floor rows (the store's
+        #: state is a lazy driver-side dict — no Spark job here)
+        floors0 = self.wm.stream_floors() if cfg.load_progress else {}
+        self.resume_floor_ms: int | None = (
+            min(floors0.values()) if floors0 else None
+        )
         #: highest window end actually APPLIED in this run — the only
         #: boundary whose violation is a genuine contract break
         self.applied_end_ms: int | None = None
@@ -77,6 +83,13 @@ class StreamingReplay:
         self._impl: str | None = None  # resolved set_impl ('auto' → concrete)
         self.batch_id = 0
         self.n_applied = 0
+        #: case-(3) visibility counters (ADVICE r5): events absorbed as
+        #: presumed-already-applied because they sat below their own
+        #: stream's saved floor on a resume, and the smallest such time —
+        #: the candidate repair_span lower bound if the operator decides
+        #: the producer violated the safety contract
+        self.n_absorbed_below_floor = 0
+        self.min_absorbed_ms: int | None = None
 
     # ---------- window application ----------
 
@@ -132,7 +145,18 @@ class StreamingReplay:
     def _on_batch(self, batch_df, _sid: int) -> None:
         aggs = [F.max(TIME_MS).alias("mx"), F.min(TIME_MS).alias("mn")]
         src = batch_df
-        if self.applied_end_ms is not None:
+        track_late = self.applied_end_ms is not None
+        # case (3) visibility (ADVICE r5): rows below their own stream's
+        # saved floor are absorbed as presumed-already-applied — correct
+        # for redelivery, silent data loss for a producer that violated
+        # the safety contract across run boundaries.  The two are
+        # indistinguishable here without consulting the target, so the
+        # absorbed rows are COUNTED (and the span surfaced) instead of
+        # guessed at: the operator can decide whether to run
+        # plans.pipeline.repair_span over [min_absorbed_ms,
+        # resume_floor_ms).  Only resume runs pay the extra column.
+        track_absorb = self.resume_floor_ms is not None
+        if track_late or track_absorb:
             # genuinely-late rows: below a window end APPLIED THIS RUN
             # but not below THEIR OWN STREAM's saved floor (those are
             # presumed already applied — filter_new would drop them; see
@@ -171,16 +195,43 @@ class StreamingReplay:
                 # rows below the applied end are genuinely late (bounded
                 # below by the global resume floor, as before)
                 own_floor = F.coalesce(F.col("__floor"), F.lit(lo_bound))
-            aggs.append(
-                F.sum(
-                    F.when(
-                        (F.col(TIME_MS) < F.lit(self.applied_end_ms))
-                        & (F.col(TIME_MS) >= own_floor),
-                        1,
-                    ).otherwise(0)
-                ).alias("n_late")
-            )
+            if track_late:
+                aggs.append(
+                    F.sum(
+                        F.when(
+                            (F.col(TIME_MS) < F.lit(self.applied_end_ms))
+                            & (F.col(TIME_MS) >= own_floor),
+                            1,
+                        ).otherwise(0)
+                    ).alias("n_late")
+                )
+            if track_absorb:
+                # rows the apply path will never fold: below their own
+                # stream's floor (filter_new drops them) or below the
+                # resume floor (windows never rescan there)
+                below = F.col(TIME_MS) < own_floor
+                aggs.append(
+                    F.sum(F.when(below, 1).otherwise(0)).alias("n_absorbed")
+                )
+                aggs.append(
+                    F.min(F.when(below, F.col(TIME_MS))).alias("mn_absorbed")
+                )
         r = src.agg(*aggs).collect()[0]
+        if track_absorb and (r["n_absorbed"] or 0) > 0:
+            self.n_absorbed_below_floor += int(r["n_absorbed"])
+            mn_abs = int(r["mn_absorbed"])
+            if self.min_absorbed_ms is None or mn_abs < self.min_absorbed_ms:
+                self.min_absorbed_ms = mn_abs
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "streaming replay absorbed %d event(s) below the saved "
+                "per-stream floors (min time %d, resume floor %d) as "
+                "presumed already applied; if the producer violated the "
+                "safety contract instead of redelivering, run "
+                "plans.pipeline.repair_span over the suspect span",
+                int(r["n_absorbed"]), mn_abs, self.resume_floor_ms,
+            )
         if r["mx"] is None:
             return
         if self.frontier_ms is None or r["mx"] > self.frontier_ms:

@@ -410,3 +410,85 @@ def test_repair_journal_refuses_disjoint_span(spark, tmp_path):
     repair_span(spark, cfg, lo, hi)  # the recorded span: allowed
     assert pending_repair(cfg) is None  # completed and cleared
     assert_state_equal(visible(spark, cfg), oracle_replay(tbl, collection_modes=MODES))
+
+
+def test_absorbed_below_floor_counter(spark, tmp_path):
+    """Case (3) is not silent (ADVICE r5): rows absorbed as
+    presumed-already-applied — below their own stream's saved floor on a
+    resume — increment ``n_absorbed_below_floor`` and record
+    ``min_absorbed_ms`` (the candidate repair_span lower bound), while a
+    fresh run with no checkpoint counts nothing."""
+    from pyspark.sql import functions as F
+
+    from scylla_cdc_rust_spark.model import TIME_MS
+
+    tbl = generate_log(LogSpec(n_events=2_000, n_docs=100, seed=7))
+    cfg = make_cfg(str(tmp_path), tbl, safety_interval_ms=0,
+                   window_size_ms=10**15)
+    # fresh run: no saved floors, nothing to absorb-count
+    fresh = StreamingReplay(spark, cfg, MODES)
+    assert fresh.resume_floor_ms is None
+    fresh.run_available_now(drain=True)
+    assert fresh.n_absorbed_below_floor == 0
+    assert fresh.min_absorbed_ms is None
+
+    log = spark.read.parquet(cfg.log_path)
+    r = log.agg(F.min(TIME_MS).alias("lo"), F.max(TIME_MS).alias("hi")).first()
+    lo, hi = int(r["lo"]), int(r["hi"])
+    mid = (lo + hi) // 2
+    upper = log.where(F.col(TIME_MS) >= mid)
+    lower = log.where(F.col(TIME_MS) < mid)
+    n_upper, n_lower = upper.count(), lower.count()
+
+    # resumed run (everything already applied): redelivered segments are
+    # absorbed AND counted, min_absorbed_ms tracks the suspect span's
+    # lower bound, and nothing raises
+    cfg.checkpoint_location = cfg.checkpoint_location + "_2"
+    sr = StreamingReplay(spark, cfg, MODES)
+    assert sr.resume_floor_ms is not None  # preloaded from saved floors
+    min_upper = int(upper.agg(F.min(TIME_MS)).first()[0])
+    sr._on_batch(upper, 0)
+    assert sr.n_absorbed_below_floor == n_upper
+    assert sr.min_absorbed_ms == min_upper
+    sr._on_batch(lower, 1)
+    assert sr.n_absorbed_below_floor == n_upper + n_lower
+    assert sr.min_absorbed_ms == lo
+
+
+def test_repair_recovery_refuses_empty_span(spark, tmp_path):
+    """A recovery re-run that finds NO span events must raise and leave
+    the journal in place (ADVICE r5): silently returning 0 would
+    prescribe the same no-op forever while the crashed repair's reset
+    keys stay missing.  The journal also records collection_modes and
+    the pending-repair hints surface them."""
+    import json
+
+    import pytest
+
+    from scylla_cdc_rust_spark.model import TIME_MS
+    from scylla_cdc_rust_spark.plans.pipeline import (
+        REPAIR_JOURNAL,
+        pending_repair,
+        repair_span,
+        replay,
+    )
+
+    tbl = generate_log(LogSpec(n_events=2_000, n_docs=100, seed=5))
+    cfg = make_cfg(str(tmp_path), tbl)
+    replay(spark, cfg, MODES)
+    times = tbl.column(TIME_MS).to_pylist()
+    hi = max(times) + 1
+    # crashed repair whose span's late segments are GONE from the log:
+    # the recorded span holds no events any more
+    with open(os.path.join(cfg.target_path, REPAIR_JOURNAL), "w") as f:
+        json.dump({"begin_ms": hi + 10, "end_ms": hi + 20,
+                   "started_at_ms": 0, "collection_modes": MODES}, f)
+    with pytest.raises(RuntimeError, match="journal was left in place"):
+        repair_span(spark, cfg, hi + 10, hi + 20)
+    assert pending_repair(cfg) is not None  # journal untouched
+    # the replay guard's recovery hint surfaces the recorded modes
+    with pytest.raises(RuntimeError, match="collection_modes"):
+        replay(spark, cfg, MODES)
+    # a first-time no-op span (no journal) still returns 0 silently
+    os.remove(os.path.join(cfg.target_path, REPAIR_JOURNAL))
+    assert repair_span(spark, cfg, hi + 10, hi + 20) == 0
