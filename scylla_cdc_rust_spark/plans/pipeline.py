@@ -499,8 +499,9 @@ def _refuse_empty_recovery(
 
 
 def pending_repair(cfg: CDCPipelineConfig) -> dict | None:
-    """The crashed repair's journal ({begin_ms, end_ms, started_at_ms}),
-    or None.  Recovery: re-run ``repair_span`` with the recorded span."""
+    """The crashed repair's journal ({begin_ms, end_ms, started_at_ms,
+    collection_modes}), or None.  Recovery: re-run ``repair_span`` with
+    the recorded span (and modes, when recorded)."""
     import json
     import os
 
